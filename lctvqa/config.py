@@ -1,0 +1,126 @@
+"""Immutable configuration for lctvqa.
+
+The reference keeps mutable module-global config (`basic_vqa/config.py:8-98`)
+mutated by `update_config(args)`; `darts_vqa/config.py` threads an args object
+instead. We take the immutable direction: one frozen dataclass tree, built
+once from CLI args, passed explicitly. Hyperparameter defaults mirror the
+reference (`basic_vqa/config.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Shapes shared by the W and EF models (basic_vqa/config.py:10-20)."""
+
+    img_embed_size: int = 512      # IMG_EMBED_SIZE
+    word_embed_size: int = 300     # WORD_EMBED_SIZE
+    lstm_hidden_size: int = 512    # LSTM_HIDDEN_SIZE
+    lstm_num_layers: int = 1       # LSTM_NUM_LAYERS
+    max_qst_len: int = 30          # MAX_QST_LEN
+    qst_vocab_size: int = 8192
+    ans_vocab_size: int = 1000
+    img_size: int = 64
+    dropout_rate: float = 0.5
+    # 'fixed' -> VGG19 image encoder; 'darts' -> PC-DARTS search network.
+    arch_type: str = "darts"
+    pretrained_enc: bool = True    # PRETRAIN_ENC: freeze the VGG features+fc6/7
+    # PC-DARTS search-space shape (basic_vqa/models_lct.py:11, model_search.py:96-97)
+    darts_init_ch: int = 16
+    darts_layers: int = 4
+    darts_steps: int = 4
+    darts_multiplier: int = 4
+    darts_stem_multiplier: int = 3
+    darts_partial_k: int = 4       # channel proportion 1/k (model_search.py:33)
+    # Numerics: params are always fp32; compute_dtype feeds the MXU.
+    compute_dtype: str = "bfloat16"
+    # Use the Pallas fused LSTM cell on TPU (falls back to jnp elsewhere).
+    use_pallas_lstm: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization hyperparameters (basic_vqa/config.py:22-76)."""
+
+    learning_rate: float = 1e-3    # LEARNING_RATE (Adam, both EF and W)
+    step_size: int = 10            # STEP_SIZE for StepLR
+    lr_decay: float = 0.1          # LR_DECAY
+    arch_learning_rate: float = 6e-4
+    arch_weight_decay: float = 1e-3
+    arch_adam_b1: float = 0.5      # Adam betas=(0.5, 0.999) for arch params
+    arch_adam_b2: float = 0.999
+    grad_clip: float = 5.0
+    temperature: float = 0.1       # TEMPERATURE for pseudo-answer softening
+    batch_size: int = 64
+    num_epochs: int = 30
+    train_portion: float = 1.0
+    seed: int = 10
+    arch_update_freq: int = 2000
+    arch_update_freq_min: int = 100
+    arch_freq_decay: float = 0.5
+    skip_stage2: bool = False
+    skip_stage3: bool = True
+    w_lambda: float = 1.0
+    report_freq: int = 10
+    # 'exact'  -> arch gradient by jax.grad through the unrolled inner updates.
+    # 'fd'     -> finite-difference HVPs mirroring the reference
+    #             (basic_vqa/pcdarts/architect_lct.py:181-235).
+    architect_mode: str = "exact"
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    input_dir: str = "data/vqa/hdf5_64"
+    num_workers: int = 8
+    use_old_dataloader: bool = False   # v1 npy+JPEG loader vs v2 hdf5 loader
+    max_num_ans: int = 10              # MAX_NUM_ANS multi-choice slots
+    prefetch: int = 2                  # device prefetch depth
+    # ImageNet normalization (basic_vqa/data_loader_v2.py:84-85)
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Data-parallel mesh over ICI. New capability (SURVEY.md §5)."""
+
+    data_axis: str = "data"
+    num_devices: int = 0               # 0 -> use all local devices
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    exp_name: str = "default_exp"
+    resume: bool = False
+    root_stats_dir: str = "./experiment_data"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def small_test_config() -> Config:
+    """A tiny config used by tests and the multichip dry run."""
+    return Config(
+        model=ModelConfig(
+            img_embed_size=32,
+            word_embed_size=16,
+            lstm_hidden_size=32,
+            max_qst_len=8,
+            qst_vocab_size=64,
+            ans_vocab_size=16,
+            img_size=16,
+            darts_init_ch=4,
+            darts_layers=2,
+            compute_dtype="float32",
+        ),
+        train=TrainConfig(batch_size=8, num_epochs=1, arch_update_freq=1,
+                          skip_stage3=False),
+    )

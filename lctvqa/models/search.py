@@ -1,0 +1,368 @@
+"""PC-DARTS search network (reference `pcdarts/model_search.py`,
+`pcdarts/operations.py`) — functional JAX, NHWC.
+
+Structure: stem conv3x3(3 -> 3C) + BN; `layers` cells with channel doubling
++ reduction at layers//3 and 2*layers//3; each cell has `steps` nodes whose
+every incoming edge is a partial-channel MixedOp (ops applied to a 1/k
+channel slice, untouched channels concatenated back, channel shuffle);
+edge outputs are weighted by per-edge betas (softmaxed per node group) and
+op outputs by alphas (softmaxed per edge). AdaptiveAvgPool(7) + flatten.
+
+Arch parameters (alphas_normal/reduce [k_edges, 8], betas_normal/reduce
+[k_edges]) live in a SEPARATE pytree from the weights — the reference also
+keeps them outside `model.parameters()` (`model_search.py:187-200`).
+
+Unlike the reference's hard-coded `output_ch=256` (`model_search.py:131`,
+a quirk flagged in SURVEY.md §2.3), output dims are derived from the config.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lctvqa.config import ModelConfig
+from lctvqa.models.genotypes import Genotype, NONE_IDX, PRIMITIVES
+from lctvqa.ops import conv as C
+
+OUTPUT_SIZE = 7  # AdaptiveAvgPool2d(7) (model_search.py:130)
+
+
+# --------------------------------------------------------------------------
+# Primitive ops. Each op: init(key, ch, stride) -> params dict (possibly
+# empty), apply(params, x, stride, dtype) -> y. BN layers inside ops are
+# affine=False => parameter-free batch-stat normalization.
+# --------------------------------------------------------------------------
+
+def _sep_conv_init(key, ch, k):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "dw1": C.torch_conv_init(k1, k, k, ch, ch, groups=ch),
+        "pw1": C.torch_conv_init(k2, 1, 1, ch, ch),
+        "dw2": C.torch_conv_init(k3, k, k, ch, ch, groups=ch),
+        "pw2": C.torch_conv_init(k4, 1, 1, ch, ch),
+    }
+
+
+def _sep_conv_apply(p, x, stride, k, dtype):
+    pad = k // 2
+    y = jnp.maximum(x, 0.0)
+    y = C.depthwise_conv2d(p["dw1"], y, stride=stride, padding=pad,
+                           dtype=dtype)
+    y = C.conv2d(p["pw1"], y, dtype=dtype)
+    y = C.batchnorm({}, y)
+    y = jnp.maximum(y, 0.0)
+    y = C.depthwise_conv2d(p["dw2"], y, stride=1, padding=pad, dtype=dtype)
+    y = C.conv2d(p["pw2"], y, dtype=dtype)
+    return C.batchnorm({}, y)
+
+
+def _dil_conv_init(key, ch, k):
+    k1, k2 = jax.random.split(key)
+    return {
+        "dw": C.torch_conv_init(k1, k, k, ch, ch, groups=ch),
+        "pw": C.torch_conv_init(k2, 1, 1, ch, ch),
+    }
+
+
+def _dil_conv_apply(p, x, stride, k, dtype):
+    pad = k - 1  # dilation 2: pad 2 for k=3, pad 4 for k=5
+    y = jnp.maximum(x, 0.0)
+    y = C.depthwise_conv2d(p["dw"], y, stride=stride, padding=pad,
+                           dilation=2, dtype=dtype)
+    y = C.conv2d(p["pw"], y, dtype=dtype)
+    return C.batchnorm({}, y)
+
+
+def factorized_reduce_init(key, c_in, c_out):
+    assert c_out % 2 == 0
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": C.torch_conv_init(k1, 1, 1, c_in, c_out // 2),
+        "conv2": C.torch_conv_init(k2, 1, 1, c_in, c_out // 2),
+    }
+
+
+def factorized_reduce_apply(p, x, dtype):
+    """Two stride-2 1x1 convs on pixel-offset views, concat, BN
+    (operations.py:90-104)."""
+    y = jnp.maximum(x, 0.0)
+    a = C.conv2d(p["conv1"], y, stride=2, dtype=dtype)
+    b = C.conv2d(p["conv2"], y[:, 1:, 1:, :], stride=2, dtype=dtype)
+    return C.batchnorm({}, jnp.concatenate([a, b], axis=-1))
+
+
+def relu_conv_bn_init(key, c_in, c_out):
+    return {"conv": C.torch_conv_init(key, 1, 1, c_in, c_out)}
+
+
+def relu_conv_bn_apply(p, x, dtype):
+    y = jnp.maximum(x, 0.0)
+    y = C.conv2d(p["conv"], y, dtype=dtype)
+    return C.batchnorm({}, y)
+
+
+def op_init(key, prim: str, ch: int, stride: int):
+    if prim == "sep_conv_3x3":
+        return _sep_conv_init(key, ch, 3)
+    if prim == "sep_conv_5x5":
+        return _sep_conv_init(key, ch, 5)
+    if prim == "sep_conv_7x7":
+        return _sep_conv_init(key, ch, 7)
+    if prim == "dil_conv_3x3":
+        return _dil_conv_init(key, ch, 3)
+    if prim == "dil_conv_5x5":
+        return _dil_conv_init(key, ch, 5)
+    if prim == "skip_connect" and stride != 1:
+        return factorized_reduce_init(key, ch, ch)
+    return {}  # none / pools / identity have no parameters
+
+
+def op_apply(p, prim: str, x, stride: int, dtype):
+    if prim == "none":
+        if stride == 1:
+            return 0.0 * x.astype(jnp.float32)
+        return 0.0 * x[:, ::stride, ::stride, :].astype(jnp.float32)
+    if prim == "avg_pool_3x3":
+        return C.batchnorm({}, C.avg_pool(x, 3, stride, 1,
+                                          count_include_pad=False))
+    if prim == "max_pool_3x3":
+        return C.batchnorm({}, C.max_pool(x, 3, stride, 1))
+    if prim == "skip_connect":
+        if stride == 1:
+            return x.astype(jnp.float32)
+        return factorized_reduce_apply(p, x, dtype)
+    if prim == "sep_conv_3x3":
+        return _sep_conv_apply(p, x, stride, 3, dtype)
+    if prim == "sep_conv_5x5":
+        return _sep_conv_apply(p, x, stride, 5, dtype)
+    if prim == "sep_conv_7x7":
+        return _sep_conv_apply(p, x, stride, 7, dtype)
+    if prim == "dil_conv_3x3":
+        return _dil_conv_apply(p, x, stride, 3, dtype)
+    if prim == "dil_conv_5x5":
+        return _dil_conv_apply(p, x, stride, 5, dtype)
+    raise ValueError(f"unknown primitive {prim}")
+
+
+# --------------------------------------------------------------------------
+# MixedOp: partial-channel weighted op mixture (model_search.py:27-55)
+# --------------------------------------------------------------------------
+
+def channel_shuffle(x, groups: int):
+    """NHWC channel shuffle, same index mapping as model_search.py:11-25."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(n, h, w, c)
+
+
+def mixed_op_init(key, ch: int, stride: int, k: int):
+    keys = jax.random.split(key, len(PRIMITIVES))
+    return {prim: op_init(kk, prim, ch // k, stride)
+            for prim, kk in zip(PRIMITIVES, keys)}
+
+
+def mixed_op_apply(p, x, weights, stride: int, k: int, dtype):
+    """ops on the first C/k channels, weighted-summed; untouched 3/4
+    concatenated (maxpool2x2'd if reduction); channel shuffle."""
+    c = x.shape[-1]
+    xtemp = x[..., : c // k]
+    xtemp2 = x[..., c // k:]
+    # Stack the 8 op outputs and contract with the alpha weights in one go —
+    # XLA fuses this into the op epilogues instead of 8 separate AXPYs.
+    outs = jnp.stack([op_apply(p[prim], prim, xtemp, stride, dtype)
+                      for prim in PRIMITIVES])
+    temp1 = jnp.einsum("o,onhwc->nhwc", weights.astype(jnp.float32), outs,
+                       preferred_element_type=jnp.float32)
+    if stride == 1:
+        ans = jnp.concatenate([temp1, xtemp2.astype(jnp.float32)], axis=-1)
+    else:
+        ans = jnp.concatenate([temp1, C.max_pool(xtemp2, 2, 2)], axis=-1)
+    return channel_shuffle(ans, k)
+
+
+# --------------------------------------------------------------------------
+# Cell and Network
+# --------------------------------------------------------------------------
+
+def num_edges(steps: int) -> int:
+    return sum(2 + i for i in range(steps))
+
+
+def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
+    k0, k1, key = jax.random.split(key, 3)
+    p = {}
+    if reduction_prev:
+        p["pre0"] = factorized_reduce_init(k0, c_pp, c)
+    else:
+        p["pre0"] = relu_conv_bn_init(k0, c_pp, c)
+    p["pre1"] = relu_conv_bn_init(k1, c_p, c)
+    ops = []
+    for i in range(steps):
+        for j in range(2 + i):
+            key, kk = jax.random.split(key)
+            stride = 2 if reduction and j < 2 else 1
+            ops.append(mixed_op_init(kk, c, stride, k))
+    p["ops"] = ops
+    return p
+
+
+def cell_apply(p, s0, s1, alphas, betas, steps, reduction, reduction_prev,
+               k, dtype):
+    if reduction_prev:
+        s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
+    else:
+        s0 = relu_conv_bn_apply(p["pre0"], s0, dtype)
+    s1 = relu_conv_bn_apply(p["pre1"], s1, dtype)
+
+    states = [s0, s1]
+    offset = 0
+    for i in range(steps):
+        s = None
+        for j, h in enumerate(states):
+            stride = 2 if reduction and j < 2 else 1
+            y = betas[offset + j] * mixed_op_apply(
+                p["ops"][offset + j], h, alphas[offset + j], stride, k, dtype)
+            s = y if s is None else s + y
+        offset += len(states)
+        states.append(s)
+    return jnp.concatenate(states[-4:], axis=-1)  # multiplier=4 concat
+
+
+def cell_schedule(cfg: ModelConfig) -> List[dict]:
+    """Static per-cell channel/reduction plan (model_search.py:116-128)."""
+    c_curr = cfg.darts_stem_multiplier * cfg.darts_init_ch
+    c_pp, c_p = c_curr, c_curr
+    c_curr = cfg.darts_init_ch
+    sched = []
+    reduction_prev = False
+    for i in range(cfg.darts_layers):
+        reduction = i in (cfg.darts_layers // 3, 2 * cfg.darts_layers // 3)
+        if reduction:
+            c_curr *= 2
+        sched.append(dict(c_pp=c_pp, c_p=c_p, c=c_curr, reduction=reduction,
+                          reduction_prev=reduction_prev))
+        reduction_prev = reduction
+        c_pp, c_p = c_p, cfg.darts_multiplier * c_curr
+    return sched
+
+
+def network_out_features(cfg: ModelConfig) -> int:
+    sched = cell_schedule(cfg)
+    c_prev = cfg.darts_multiplier * sched[-1]["c"]
+    return c_prev * OUTPUT_SIZE * OUTPUT_SIZE
+
+
+def network_init(key, cfg: ModelConfig):
+    k_stem, key = jax.random.split(key)
+    c_stem = cfg.darts_stem_multiplier * cfg.darts_init_ch
+    p = {
+        "stem_conv": C.torch_conv_init(k_stem, 3, 3, 3, c_stem),
+        "stem_bn": C.batchnorm_init(c_stem, affine=True),
+        "cells": [],
+    }
+    for spec in cell_schedule(cfg):
+        key, kk = jax.random.split(key)
+        p["cells"].append(cell_init(
+            kk, cfg.darts_steps, spec["c_pp"], spec["c_p"], spec["c"],
+            spec["reduction"], spec["reduction_prev"], cfg.darts_partial_k))
+    return p
+
+
+def arch_init(key, cfg: ModelConfig):
+    """1e-3 * randn, as model_search.py:187-200."""
+    k = num_edges(cfg.darts_steps)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "alphas_normal": 1e-3 * jax.random.normal(k1, (k, len(PRIMITIVES))),
+        "alphas_reduce": 1e-3 * jax.random.normal(k2, (k, len(PRIMITIVES))),
+        "betas_normal": 1e-3 * jax.random.normal(k3, (k,)),
+        "betas_reduce": 1e-3 * jax.random.normal(k4, (k,)),
+    }
+
+
+def beta_softmax(betas, steps: int):
+    """Per-node-group softmax of edge betas (model_search.py:154-175):
+    groups of sizes 2, 3, ..., steps+1."""
+    chunks = []
+    start = 0
+    for i in range(steps):
+        n = 2 + i
+        chunks.append(jax.nn.softmax(betas[start:start + n]))
+        start += n
+    return jnp.concatenate(chunks)
+
+
+def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
+    """x NHWC -> flattened pooled features [B, c_prev * 49]."""
+    s = C.conv2d(p["stem_conv"], x, stride=1, padding=1, dtype=dtype)
+    s0 = s1 = C.batchnorm(p["stem_bn"], s)
+
+    w_norm = jax.nn.softmax(arch["alphas_normal"], axis=-1)
+    w_red = jax.nn.softmax(arch["alphas_reduce"], axis=-1)
+    b_norm = beta_softmax(arch["betas_normal"], cfg.darts_steps)
+    b_red = beta_softmax(arch["betas_reduce"], cfg.darts_steps)
+
+    for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
+        alphas, betas = ((w_red, b_red) if spec["reduction"]
+                         else (w_norm, b_norm))
+        s0, s1 = s1, cell_apply(
+            cell_p, s0, s1, alphas, betas, cfg.darts_steps,
+            spec["reduction"], spec["reduction_prev"], cfg.darts_partial_k,
+            dtype)
+    out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
+    # flatten in NCHW element order for reference weight compatibility
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
+    return out
+
+
+def genotype(arch, steps: int = 4, multiplier: int = 4) -> Genotype:
+    """Decode arch params to a discrete Genotype (model_search.py:205-250):
+    per node, keep the top-2 incoming edges ranked by beta * max non-'none'
+    alpha; per kept edge, the best non-'none' op."""
+    def _softmax(v, axis=-1):
+        e = np.exp(v - v.max(axis=axis, keepdims=True))
+        return e / e.sum(axis=axis, keepdims=True)
+
+    def _beta_cat(betas):
+        chunks, start = [], 0
+        for i in range(steps):
+            n = 2 + i
+            chunks.append(_softmax(np.asarray(betas[start:start + n])))
+            start += n
+        return np.concatenate(chunks)
+
+    def _parse(weights, weights2):
+        gene = []
+        n, start = 2, 0
+        for i in range(steps):
+            end = start + n
+            w = weights[start:end].copy() * weights2[start:end, None]
+            edges = sorted(
+                range(i + 2),
+                key=lambda x: -max(w[x][kk] for kk in range(len(w[x]))
+                                   if kk != NONE_IDX))[:2]
+            for j in edges:
+                k_best = None
+                for kk in range(len(w[j])):
+                    if kk == NONE_IDX:
+                        continue
+                    if k_best is None or w[j][kk] > w[j][k_best]:
+                        k_best = kk
+                gene.append((PRIMITIVES[k_best], j))
+            start = end
+            n += 1
+        return gene
+
+    gene_normal = _parse(_softmax(np.asarray(arch["alphas_normal"])),
+                         _beta_cat(np.asarray(arch["betas_normal"])))
+    gene_reduce = _parse(_softmax(np.asarray(arch["alphas_reduce"])),
+                         _beta_cat(np.asarray(arch["betas_reduce"])))
+    concat = list(range(2 + steps - multiplier, steps + 2))
+    return Genotype(normal=gene_normal, normal_concat=concat,
+                    reduce=gene_reduce, reduce_concat=concat)
