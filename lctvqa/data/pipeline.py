@@ -1,0 +1,166 @@
+"""Input pipeline: host-RAM dataset -> sharded HBM batches.
+
+The reference streams one item at a time through torch DataLoader worker
+processes with per-item PIL decode + normalize (`basic_vqa/data_loader_v2.py`).
+TPU-first redesign: the whole split's uint8 images live in host RAM (the
+64x64 hdf5 set is ~1 GB); batch assembly is vectorized numpy gather; images
+cross host->HBM as uint8 (4x less PCIe/DMA traffic than fp32) and the
+normalize (u8 -> fp32, ImageNet mean/std) is fused into the jitted train
+step where XLA folds it into the first conv's input pipeline. A background
+thread keeps `prefetch` batches in flight.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lctvqa.config import DataConfig
+from lctvqa.text import VocabDict
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_images(u8, mean=tuple(IMAGENET_MEAN), std=tuple(IMAGENET_STD)):
+    """uint8 NHWC -> normalized fp32. Called INSIDE jit so it fuses."""
+    x = u8.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(mean)) / jnp.asarray(std)
+
+
+class VqaH5Dataset:
+    """One split of the v2 (hdf5) dataset, fully resident in host RAM.
+
+    Matches data_loader_v2.VqaDataset semantics: enc_qst/qst_len/enc_ans
+    keyed by question, images keyed by coco id, answer_label drawn uniformly
+    from the valid answers per epoch, 10-slot multi_choice padded with -1.
+    """
+
+    def __init__(self, input_dir: str, split: str,
+                 train_portion: float = 1.0):
+        import h5py
+
+        assert split in ("train", "val")
+        self.split = split
+        self.input_dir = input_dir
+        with h5py.File(os.path.join(input_dir, "qst-ans.h5"), "r") as fd:
+            self.enc_qst = fd[f"{split}/enc_qst"][()].astype(np.int32)
+            self.qst_len = fd[f"{split}/qst_len"][()].astype(np.int32)
+            self.enc_ans = fd[f"{split}/enc_ans"][()]
+            self.img_id = fd[f"{split}/img_id"][()]
+        with h5py.File(os.path.join(input_dir, "images.h5"), "r") as fd:
+            self.images = fd[f"{split}/images"][()]  # uint8 NHWC
+            coco_ids = fd[f"{split}/coco_ids"][()]
+        id_to_row = {int(cid): i for i, cid in enumerate(coco_ids)}
+        self.img_row = np.array([id_to_row[int(i)] for i in self.img_id],
+                                np.int32)
+        self.qst_vocab = VocabDict(
+            os.path.join(input_dir, "vocab_questions.txt"))
+        self.ans_vocab = VocabDict(
+            os.path.join(input_dir, "vocab_answers.txt"))
+        n = int(np.floor(train_portion * len(self.enc_qst)))
+        self.num_qst = n
+
+    def __len__(self):
+        return self.num_qst
+
+    def image_names(self, idx: np.ndarray):
+        return [f"COCO_{self.split}2014_{int(i):012d}"
+                for i in self.img_id[idx]]
+
+    def gather(self, idx: np.ndarray, rng: np.random.Generator,
+               max_num_ans: int = 10) -> Dict[str, np.ndarray]:
+        """Vectorized batch assembly for question indices `idx`."""
+        enc_ans = self.enc_ans[idx]                      # [B, A]
+        b, a = enc_ans.shape
+        valid = enc_ans > 0
+        n_valid = valid.sum(axis=1)                      # [B]
+        # random valid answer per item: uniform among nonzero columns
+        u = rng.random(b)
+        pick = np.minimum((u * np.maximum(n_valid, 1)).astype(np.int64),
+                          np.maximum(n_valid - 1, 0))
+        csum = np.cumsum(valid, axis=1)                  # rank of each col
+        # first column whose rank == pick+1 and valid
+        target_rank = (pick + 1)[:, None]
+        is_pick = valid & (csum == target_rank)
+        answer_label = np.where(n_valid > 0, is_pick.argmax(axis=1),
+                                self.ans_vocab.unk2idx).astype(np.int32)
+        # multi-choice: first max_num_ans valid indices, -1 padded
+        order = np.argsort(~valid, axis=1, kind="stable")  # valid cols first
+        mc = order[:, :max_num_ans].astype(np.int32)
+        ranks = np.arange(max_num_ans)[None, :]
+        mc = np.where(ranks < n_valid[:, None], mc, -1)
+        return {
+            "image_u8": self.images[self.img_row[idx]],
+            "question": self.enc_qst[idx],
+            "qst_len": self.qst_len[idx],
+            "answer_label": answer_label,
+            "answer_multi_choice": mc,
+            "index": idx.astype(np.int32),
+        }
+
+
+def epoch_batches(dataset: VqaH5Dataset, batch_size: int,
+                  rng: np.random.Generator, shuffle: bool = True,
+                  drop_remainder: bool = True,
+                  max_num_ans: int = 10) -> Iterator[dict]:
+    idx = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(idx)
+    n_full = len(idx) // batch_size
+    end = n_full * batch_size if drop_remainder else len(idx)
+    for s in range(0, end, batch_size):
+        yield dataset.gather(idx[s:s + batch_size], rng, max_num_ans)
+
+
+class Prefetcher:
+    """Background-thread prefetch of device-put batches.
+
+    `sharding` (optional jax.sharding.Sharding) places each array — batch
+    axis over the data mesh — so the HBM copy overlaps compute.
+    """
+
+    def __init__(self, it: Iterator[dict], sharding=None, depth: int = 2,
+                 device_keys=("image_u8", "question", "answer_label")):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sharding = sharding
+        self._device_keys = device_keys
+        self._thread = threading.Thread(
+            target=self._run, args=(it,), daemon=True)
+        self._thread.start()
+
+    def _run(self, it):
+        try:
+            for batch in it:
+                out = dict(batch)
+                for k in self._device_keys:
+                    if k in out:
+                        out[k] = jax.device_put(out[k], self._sharding)
+                self._q.put(out)
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            raise StopIteration
+        return item
+
+
+def get_loader(input_dir: str, batch_size: int, train_portion: float = 1.0,
+               seed: int = 0) -> Dict[str, VqaH5Dataset]:
+    """Loader-factory mirroring `data_loader_v2.get_loader` signature:
+    returns the two datasets; iteration is via epoch_batches/Prefetcher."""
+    return {
+        "train": VqaH5Dataset(input_dir, "train", train_portion),
+        "valid": VqaH5Dataset(input_dir, "val", train_portion),
+    }

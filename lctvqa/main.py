@@ -1,0 +1,93 @@
+"""CLI entry point (reference `basic_vqa/main.py`).
+
+    python -m lctvqa.main --arch_type darts --exp my_exp --input_dir ...
+
+Flags mirror the reference plus TPU-native extras (architect mode, compute
+dtype, mesh size).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from lctvqa.config import Config, DataConfig, MeshConfig, ModelConfig, \
+    TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="LCT-VQA (TPU-native)")
+    p.add_argument("--w_lambda", type=float, default=1.0)
+    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--train_portion", type=float, default=1.0)
+    p.add_argument("--exp", type=str, default="default_exp")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--input_dir", type=str, default="data/vqa/hdf5_64")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--arch_type", type=str, default="darts",
+                   choices=["fixed", "darts"])
+    p.add_argument("--arch_update_freq", type=int, default=2000)
+    p.add_argument("--skip_stage2", action="store_true")
+    p.add_argument("--skip_stage3", action="store_true")
+    p.add_argument("--no_pretrain_enc", action="store_true")
+    p.add_argument("--img_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=10)
+    # TPU-native extras
+    p.add_argument("--architect_mode", type=str, default="exact",
+                   choices=["exact", "fd"])
+    p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--num_devices", type=int, default=0,
+                   help="0 = all local devices")
+    p.add_argument("--vgg_weights", type=str, default="",
+                   help="path to a torch vgg19 state_dict for pretrained "
+                        "encoder init")
+    return p
+
+
+def config_from_args(args) -> Config:
+    model = ModelConfig(arch_type=args.arch_type,
+                        pretrained_enc=not args.no_pretrain_enc,
+                        img_size=args.img_size,
+                        compute_dtype=args.compute_dtype)
+    train = TrainConfig(
+        w_lambda=args.w_lambda, num_epochs=args.num_epochs,
+        batch_size=args.batch_size, train_portion=args.train_portion,
+        arch_update_freq=args.arch_update_freq,
+        skip_stage2=args.skip_stage2, skip_stage3=args.skip_stage3,
+        seed=args.seed, architect_mode=args.architect_mode,
+        report_freq=10 if args.arch_type == "darts" else 100)
+    data = DataConfig(input_dir=args.input_dir,
+                      num_workers=args.num_workers)
+    mesh = MeshConfig(num_devices=args.num_devices)
+    return Config(model=model, train=train, data=data, mesh=mesh,
+                  exp_name=args.exp, resume=args.resume)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    # vocab sizes come from the dataset on disk
+    from lctvqa.text import VocabDict
+    import os
+    qst_vocab = VocabDict(os.path.join(args.input_dir,
+                                       "vocab_questions.txt"))
+    ans_vocab = VocabDict(os.path.join(args.input_dir,
+                                       "vocab_answers.txt"))
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, qst_vocab_size=qst_vocab.vocab_size,
+        ans_vocab_size=ans_vocab.vocab_size))
+
+    vgg_params = None
+    if args.vgg_weights:
+        from lctvqa.models.vgg import load_pretrained
+        vgg_params = load_pretrained(args.vgg_weights)
+
+    from lctvqa.train.experiment import Experiment
+    exp = Experiment(cfg, vgg_params=vgg_params)
+    exp.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""PC-DARTS search network tests (reference inline test
+`pcdarts/model_search.py:252-264` plus structural invariants)."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lctvqa.config import small_test_config
+from lctvqa.models import search
+from lctvqa.models.genotypes import PRIMITIVES
+
+
+def _cfg(**kw):
+    return dataclasses.replace(small_test_config().model, **kw)
+
+
+def test_network_output_shape_matches_reference_dims():
+    """Reference: init_ch=16, layers=4 -> 256ch x 7 x 7 features
+    (model_search.py:131-132, 262-263)."""
+    cfg = _cfg(darts_init_ch=16, darts_layers=4, img_size=32)
+    assert search.network_out_features(cfg) == 256 * 7 * 7
+    key = jax.random.PRNGKey(0)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(key, (2, 32, 32, 3))
+    out = jax.jit(lambda p, a: search.network_apply(p, a, cfg, x))(
+        params, arch)
+    assert out.shape == (2, 256 * 7 * 7)
+
+
+def test_channel_shuffle_mapping():
+    x = jnp.arange(8, dtype=jnp.float32).reshape(1, 1, 1, 8)
+    y = search.channel_shuffle(x, 4)
+    # torch mapping: c = g*(C/g)+k -> k*g + g_idx
+    expected = [0, 2, 4, 6, 1, 3, 5, 7]
+    np.testing.assert_array_equal(np.asarray(y)[0, 0, 0], expected)
+
+
+def test_beta_softmax_groups():
+    betas = jnp.arange(14, dtype=jnp.float32)
+    out = search.beta_softmax(betas, 4)
+    assert out.shape == (14,)
+    # each group sums to 1: sizes 2,3,4,5
+    start = 0
+    for n in (2, 3, 4, 5):
+        np.testing.assert_allclose(float(jnp.sum(out[start:start + n])),
+                                   1.0, rtol=1e-6)
+        start += n
+
+
+def test_mixed_op_weighted_sum_linearity():
+    """alpha one-hot on 'skip_connect' stride 1 must reproduce the input
+    slice in the shuffled layout."""
+    cfg = _cfg()
+    key = jax.random.PRNGKey(1)
+    ch, k = 8, 4
+    p = search.mixed_op_init(key, ch, 1, k)
+    x = jax.random.normal(key, (2, 4, 4, ch))
+    w = jnp.zeros(len(PRIMITIVES)).at[
+        PRIMITIVES.index("skip_connect")].set(1.0)
+    y = search.mixed_op_apply(p, x, w, 1, k, None)
+    assert y.shape == x.shape
+    # invert the channel shuffle and check the op slice equals x[..., :2]
+    inv = search.channel_shuffle(y, ch // k)
+    np.testing.assert_allclose(np.asarray(inv[..., : ch // k]),
+                               np.asarray(x[..., : ch // k]), rtol=1e-6)
+
+
+def test_genotype_decode_prefers_heavy_alpha():
+    cfg = _cfg(darts_steps=4)
+    key = jax.random.PRNGKey(2)
+    arch = search.arch_init(key, cfg)
+    # force edge 0 to strongly prefer sep_conv_3x3, edge 1 max_pool_3x3
+    a = np.asarray(arch["alphas_normal"]).copy()
+    a[:] = 0.0
+    a[0, PRIMITIVES.index("sep_conv_3x3")] = 5.0
+    a[1, PRIMITIVES.index("max_pool_3x3")] = 5.0
+    # 'none' must never be selected even if heaviest
+    a[0, PRIMITIVES.index("none")] = 10.0
+    arch = dict(arch, alphas_normal=jnp.asarray(a),
+                betas_normal=jnp.zeros(14))
+    g = search.genotype(arch, 4, 4)
+    ops_node0 = g.normal[:2]
+    assert ("sep_conv_3x3", 0) in ops_node0
+    assert ("max_pool_3x3", 1) in ops_node0
+    assert all(op != "none" for op, _ in g.normal + g.reduce)
+    assert list(g.normal_concat) == [2, 3, 4, 5]
+
+
+def test_reduction_cell_halves_spatial():
+    cfg = _cfg(darts_init_ch=4, darts_layers=3, img_size=16)
+    # layers=3 -> reductions at 1 and 2
+    key = jax.random.PRNGKey(3)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(key, (2, 16, 16, 3))
+    out = jax.jit(lambda: search.network_apply(params, arch, cfg, x))()
+    assert out.shape == (2, search.network_out_features(cfg))
