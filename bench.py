@@ -1,0 +1,173 @@
+"""Benchmark: end-to-end VQA pairs/sec/chip (preproc + inference) of the
+basic VQA model (VGG19 + LSTM) at the reference measurement config
+(BASELINE.md: batch 64, 64x64 images, qst len 30, 1000 answers).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": R}
+
+vs_baseline is the ratio against the CPU reference implementation (the
+same model re-executed in pure PyTorch on this host, measured once and
+cached in baseline_cpu.json). BASELINE.json's north star is >=5x.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 64
+IMG = 64
+QLEN = 30
+QVOCAB = 8192
+AVOCAB = 1000
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "baseline_cpu.json")
+
+
+def _torch_reference_pairs_per_sec(iters: int = 3) -> float:
+    """Reference W model (models.py:71-104) in pure torch on CPU,
+    including the ToTensor+Normalize preprocessing from uint8."""
+    import torch
+    import torch.nn as nn
+
+    class TorchVgg19Features(nn.Module):
+        CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+               512, 512, 512, 512, "M", 512, 512, 512, 512, "M")
+
+        def __init__(self):
+            super().__init__()
+            layers, c_in = [], 3
+            for v in self.CFG:
+                if v == "M":
+                    layers.append(nn.MaxPool2d(2, 2))
+                else:
+                    layers += [nn.Conv2d(c_in, v, 3, padding=1),
+                               nn.ReLU(inplace=True)]
+                    c_in = v
+            self.features = nn.Sequential(*layers)
+            self.avgpool = nn.AdaptiveAvgPool2d(7)
+            self.classifier = nn.Sequential(
+                nn.Linear(512 * 7 * 7, 4096), nn.ReLU(inplace=True),
+                nn.Dropout(), nn.Linear(4096, 4096), nn.ReLU(inplace=True),
+                nn.Dropout())
+
+        def forward(self, x):
+            x = self.avgpool(self.features(x))
+            return self.classifier(torch.flatten(x, 1))
+
+    class TorchWModel(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.vgg = TorchVgg19Features()
+            self.img_fc = nn.Linear(4096, 512)
+            self.embed = nn.Embedding(QVOCAB, 300)
+            self.lstm = nn.LSTM(300, 512)
+            self.qst_fc = nn.Linear(2 * 512, 512)
+            self.fc1 = nn.Linear(512, AVOCAB)
+            self.fc2 = nn.Linear(AVOCAB, AVOCAB)
+
+        def forward(self, img, qst):
+            with torch.no_grad():
+                f = self.vgg(img)
+            f = self.img_fc(f)
+            f = f / f.norm(p=2, dim=1, keepdim=True)
+            q = torch.tanh(self.embed(qst)).transpose(0, 1)
+            _, (h, c) = self.lstm(q)
+            q = torch.cat((h, c), 2).transpose(0, 1).reshape(img.shape[0],
+                                                             -1)
+            q = self.qst_fc(torch.tanh(q))
+            x = torch.tanh(f * q)
+            x = torch.tanh(self.fc1(x))
+            return self.fc2(x)
+
+    model = TorchWModel().eval()
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    u8 = torch.randint(0, 256, (BATCH, IMG, IMG, 3), dtype=torch.uint8)
+    qst = torch.randint(0, QVOCAB, (BATCH, QLEN))
+
+    def run_once():
+        img = u8.permute(0, 3, 1, 2).float() / 255.0
+        img = (img - mean) / std
+        with torch.no_grad():
+            return model(img, qst)
+
+    run_once()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def _get_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["pairs_per_sec"]
+    pps = _torch_reference_pairs_per_sec()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump({"pairs_per_sec": pps, "what": "reference W model "
+                   "(VGG19+LSTM) pure-torch CPU, batch 64, 64px, "
+                   "preproc+infer"}, f)
+    return pps
+
+
+def tpu_pairs_per_sec(iters: int = 30) -> float:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from lctvqa.config import ModelConfig
+    from lctvqa.data.pipeline import normalize_images
+    from lctvqa.models import vqa_w
+
+    cfg = ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                      ans_vocab_size=AVOCAB, arch_type="fixed",
+                      compute_dtype="bfloat16")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def step(u8, qst):
+        img = normalize_images(u8)
+        return vqa_w.w_forward(params, cfg, img, qst, deterministic=True)
+
+    rng = np.random.RandomState(0)
+    u8 = jnp.asarray(rng.randint(0, 256, (BATCH, IMG, IMG, 3),
+                                 dtype=np.uint8))
+    qst = jnp.asarray(rng.randint(0, QVOCAB, (BATCH, QLEN)).astype(
+        np.int32))
+    step(u8, qst).block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(u8, qst)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * iters / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args()
+    baseline = _get_baseline()
+    value = tpu_pairs_per_sec(args.iters)
+    print(json.dumps({
+        "metric": "vqa_pairs_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

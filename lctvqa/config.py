@@ -29,6 +29,9 @@ class ModelConfig:
     # 'fixed' -> VGG19 image encoder; 'darts' -> PC-DARTS search network.
     arch_type: str = "darts"
     pretrained_enc: bool = True    # PRETRAIN_ENC: freeze the VGG features+fc6/7
+    # test-only shrink knobs for the VGG19 trunk (production: 1.0 / 4096)
+    vgg_width_mult: float = 1.0
+    vgg_fc_dim: int = 4096
     # PC-DARTS search-space shape (basic_vqa/models_lct.py:11, model_search.py:96-97)
     darts_init_ch: int = 16
     darts_layers: int = 4
@@ -120,6 +123,8 @@ def small_test_config() -> Config:
             darts_init_ch=4,
             darts_layers=2,
             compute_dtype="float32",
+            vgg_width_mult=0.125,
+            vgg_fc_dim=64,
         ),
         train=TrainConfig(batch_size=8, num_epochs=1, arch_update_freq=1,
                           skip_stage3=False),

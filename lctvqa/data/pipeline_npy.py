@@ -1,0 +1,165 @@
+"""v1 (npy-record) dataset path + the unified qa-stream dataset.
+
+Semantics: `basic_vqa/data_loader.py:10-61` (question encoded as
+<start> tokens <end> padded to max_qst_length, random valid answer,
+-1-padded multi-choice) and `darts_vqa/data_loader.py:82-125` (single
+`<start> q <sep> a <end>` stream over the unified vocab).
+
+Images come from JPEG files named by `image_path` when they exist, else
+from images.h5 keyed by coco id (our synthetic fixtures ship h5 only).
+Batches are assembled as numpy and normalized on device (see pipeline.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from lctvqa.text import VocabDict
+
+_ID_RE = re.compile(r"_(\d{12})$")
+
+
+class VqaNpyDataset:
+    """Question/answer view over the npy records."""
+
+    def __init__(self, input_dir: str, input_vqa: str,
+                 max_qst_length: int = 30, max_num_ans: int = 10,
+                 img_size: int = 64):
+        self.input_dir = input_dir
+        self.vqa = np.load(os.path.join(input_dir, input_vqa),
+                           allow_pickle=True)
+        self.qst_vocab = VocabDict(
+            os.path.join(input_dir, "vocab_questions.txt"))
+        self.ans_vocab = VocabDict(
+            os.path.join(input_dir, "vocab_answers.txt"))
+        self.max_qst_length = max_qst_length
+        self.max_num_ans = max_num_ans
+        self.img_size = img_size
+        self.load_ans = ("valid_answers" in self.vqa[0]
+                         and self.vqa[0]["valid_answers"] is not None)
+        self._h5_images = None  # lazy h5 fallback
+        self._h5_ids = None
+
+    def __len__(self):
+        return len(self.vqa)
+
+    # ---------------- images ----------------
+    def _load_h5(self):
+        import h5py
+        if self._h5_images is None:
+            self._h5_images = {}
+            self._h5_ids = {}
+            with h5py.File(os.path.join(self.input_dir, "images.h5"),
+                           "r") as fd:
+                for split in fd.keys():
+                    self._h5_images[split] = fd[f"{split}/images"][()]
+                    ids = fd[f"{split}/coco_ids"][()]
+                    self._h5_ids[split] = {int(c): i
+                                           for i, c in enumerate(ids)}
+
+    def _image(self, rec) -> np.ndarray:
+        path = rec["image_path"]
+        if os.path.exists(path):
+            from PIL import Image
+            img = Image.open(path).convert("RGB")
+            return np.asarray(img.resize((self.img_size, self.img_size)),
+                              dtype=np.uint8)
+        self._load_h5()
+        coco_id = int(_ID_RE.search(rec["image_name"]).group(1))
+        split = "train" if "train" in rec["image_name"] else "val"
+        return self._h5_images[split][self._h5_ids[split][coco_id]]
+
+    # ---------------- encoding ----------------
+    def encode_question(self, rec) -> np.ndarray:
+        q = np.full(self.max_qst_length, self.qst_vocab.word2idx("<pad>"),
+                    np.int32)
+        toks = rec["question_tokens"]
+        q[0] = self.qst_vocab.word2idx("<start>")
+        q[1:len(toks) + 1] = [self.qst_vocab.word2idx(w) for w in toks]
+        q[len(toks) + 1] = self.qst_vocab.word2idx("<end>")
+        return q
+
+    def item(self, idx: int, rng: np.random.Generator) -> Dict:
+        rec = self.vqa[idx]
+        sample = {
+            "image_u8": self._image(rec),
+            "question": self.encode_question(rec),
+            "image_name": rec["image_name"],
+        }
+        if self.load_ans:
+            ans_ids = [self.ans_vocab.word2idx(w)
+                       for w in rec["valid_answers"]]
+            sample["answer_label"] = np.int32(
+                ans_ids[rng.integers(len(ans_ids))])
+            mc = np.full(self.max_num_ans, -1, np.int32)
+            mc[:len(ans_ids)] = ans_ids[:self.max_num_ans]
+            sample["answer_multi_choice"] = mc
+        return sample
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True,
+                drop_remainder: bool = True) -> Iterator[dict]:
+        idx = np.arange(len(self))
+        if shuffle:
+            rng.shuffle(idx)
+        n_full = len(idx) // batch_size
+        end = n_full * batch_size if drop_remainder else len(idx)
+        for s in range(0, end, batch_size):
+            items = [self.item(int(i), rng) for i in idx[s:s + batch_size]]
+            batch = {k: np.stack([it[k] for it in items])
+                     if isinstance(items[0][k], np.ndarray)
+                     or np.isscalar(items[0][k])
+                     or isinstance(items[0][k], np.integer)
+                     else [it[k] for it in items]
+                     for k in items[0]}
+            batch["index"] = idx[s:s + batch_size].astype(np.int32)
+            yield batch
+
+
+class VqaNpyDatasetUnified(VqaNpyDataset):
+    """`<start> q <sep> a <end>` stream over vocab_unified.txt
+    (darts_vqa/data_loader.py:82-125)."""
+
+    def __init__(self, input_dir: str, input_vqa: str,
+                 max_qst_length: int = 30, max_num_ans: int = 10,
+                 img_size: int = 64):
+        super().__init__(input_dir, input_vqa, max_qst_length, max_num_ans,
+                         img_size)
+        self.unified_vocab = VocabDict(
+            os.path.join(input_dir, "vocab_unified.txt"))
+
+    def item(self, idx: int, rng: np.random.Generator) -> Dict:
+        rec = self.vqa[idx]
+        v = self.unified_vocab
+        qa = np.full(self.max_qst_length, v.word2idx("<pad>"), np.int32)
+        toks = rec["question_tokens"]
+        qlen = len(toks)
+        qa[0] = v.word2idx("<start>")
+        qa[1:qlen + 1] = [v.word2idx(w) for w in toks]
+        qa[qlen + 1] = v.word2idx("<sep>")
+        ans = rec["valid_answers"][rng.integers(
+            len(rec["valid_answers"]))].split()
+        ptr = qlen + 2
+        qa[ptr:ptr + len(ans)] = [v.word2idx(w) for w in ans]
+        qa[ptr + len(ans)] = v.word2idx("<end>")
+        return {
+            "image_u8": self._image(rec),
+            "qa_str": qa,
+            "image_name": rec["image_name"],
+        }
+
+
+def get_npy_loader(input_dir: str, max_qst_length: int = 30,
+                   max_num_ans: int = 10, img_size: int = 64,
+                   unified: bool = False) -> Dict[str, VqaNpyDataset]:
+    cls = VqaNpyDatasetUnified if unified else VqaNpyDataset
+    return {
+        "train": cls(input_dir, "train.npy", max_qst_length, max_num_ans,
+                     img_size),
+        "valid": cls(input_dir, "valid.npy", max_qst_length, max_num_ans,
+                     img_size),
+    }

@@ -24,22 +24,34 @@ VGG19_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
              512, 512, 512, 512, "M", 512, 512, 512, 512, "M")
 
 
-def vgg19_init(key):
-    """Random init with torch default conv/linear distributions."""
+def vgg19_init(key, width_mult: float = 1.0, fc_dim: int = 4096):
+    """Random init with torch default conv/linear distributions.
+
+    width_mult < 1 shrinks every conv width (test/debug configs only; the
+    production model is the reference-exact width_mult=1, fc_dim=4096).
+    """
     convs = []
     c_in = 3
+    c_last = 3
     for v in VGG19_CFG:
         if v == "M":
             continue
         key, k = jax.random.split(key)
-        convs.append(C.torch_conv_init(k, 3, 3, c_in, v, bias=True))
-        c_in = v
+        c_out = max(1, int(v * width_mult))
+        convs.append(C.torch_conv_init(k, 3, 3, c_in, c_out, bias=True))
+        c_in = c_out
+        c_last = c_out
     key, k6, k7 = jax.random.split(key, 3)
     return {
         "features": convs,
-        "fc6": N.torch_linear_init(k6, 512 * 7 * 7, 4096),
-        "fc7": N.torch_linear_init(k7, 4096, 4096),
+        "fc6": N.torch_linear_init(k6, c_last * 7 * 7, fc_dim),
+        "fc7": N.torch_linear_init(k7, fc_dim, fc_dim),
     }
+
+
+def feature_dim(params) -> int:
+    """Output width of the kept classifier (4096 for real VGG19)."""
+    return params["fc7"]["w"].shape[1]
 
 
 def vgg19_features(params, x, rng: Optional[jax.Array] = None,

@@ -38,8 +38,8 @@ def init_ef_model(key, cfg: ModelConfig, vgg_params=None):
         arch = search.arch_init(k6, cfg)
     else:
         params["vgg"] = vgg_params if vgg_params is not None \
-            else vgg.vgg19_init(k1)
-        in_features = 4096
+            else vgg.vgg19_init(k1, cfg.vgg_width_mult, cfg.vgg_fc_dim)
+        in_features = vgg.feature_dim(params["vgg"])
     params["img_fc"] = N.torch_linear_init(k2, in_features,
                                            cfg.img_embed_size)
     params["qst"] = ef_qst_encoder_init(
@@ -128,10 +128,13 @@ def ef_generate(params, arch, cfg: ModelConfig, img,
 
 
 def ef_loss(params, arch, cfg: ModelConfig, img, qst, labels,
-            rng=None, deterministic: bool = True):
+            rng=None, deterministic: bool = True, qst_only: bool = False):
     """Answer CE + shifted teacher-forcing question CE
-    (models_lct.py:250-257)."""
+    (models_lct.py:250-257). qst_only drops the answer term
+    (darts_vqa/vqa_model.py:351-364)."""
     ans_logits, qst_logits = ef_forward(params, arch, cfg, img, qst, rng,
                                         deterministic)
-    return (cross_entropy(ans_logits, labels)
-            + sequence_teacher_forcing_ce(qst_logits, qst))
+    qst_ce = sequence_teacher_forcing_ce(qst_logits, qst)
+    if qst_only:
+        return qst_ce
+    return cross_entropy(ans_logits, labels) + qst_ce

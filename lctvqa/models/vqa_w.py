@@ -27,10 +27,11 @@ from lctvqa.ops.losses import cross_entropy, soft_xent
 def init_w_model(key, cfg: ModelConfig, vgg_params=None):
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     if vgg_params is None:
-        vgg_params = vgg.vgg19_init(k1)
+        vgg_params = vgg.vgg19_init(k1, cfg.vgg_width_mult, cfg.vgg_fc_dim)
     return {
         "vgg": vgg_params,
-        "img_fc": N.torch_linear_init(k2, 4096, cfg.img_embed_size),
+        "img_fc": N.torch_linear_init(k2, vgg.feature_dim(vgg_params),
+                                      cfg.img_embed_size),
         "qst": w_qst_encoder_init(k3, cfg.qst_vocab_size,
                                   cfg.word_embed_size, cfg.img_embed_size,
                                   cfg.lstm_num_layers, cfg.lstm_hidden_size),

@@ -12,6 +12,12 @@ import jax
 # knob is honored. Must run before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Single-core host: persistent compilation cache makes repeated test runs
+# skip XLA compiles entirely.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

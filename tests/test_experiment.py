@@ -1,0 +1,78 @@
+"""End-to-end LCT experiment on the synthetic dataset over an 8-device CPU
+mesh: all three stages, checkpointing, resume, stats and plots."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synth32(tmp_path_factory):
+    from lctvqa.data.synthetic import make_dataset
+    d = tmp_path_factory.mktemp("vqa_synth32")
+    make_dataset(str(d), num_images=8, num_questions=32, img_size=32,
+                 n_answers=16)
+    return str(d)
+
+
+def _cfg(synth32, tmp_path, **train_kw):
+    import os
+
+    from lctvqa.config import (Config, DataConfig, MeshConfig, ModelConfig,
+                               TrainConfig)
+    from lctvqa.text import VocabDict
+    qv = VocabDict(os.path.join(synth32, "vocab_questions.txt"))
+    av = VocabDict(os.path.join(synth32, "vocab_answers.txt"))
+    model = ModelConfig(
+        img_embed_size=32, word_embed_size=16, lstm_hidden_size=32,
+        max_qst_len=8, qst_vocab_size=qv.vocab_size,
+        ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
+        darts_layers=2, compute_dtype="float32", vgg_width_mult=0.125,
+        vgg_fc_dim=64)
+    train = TrainConfig(batch_size=8, num_epochs=1, arch_update_freq=2,
+                        skip_stage2=False, skip_stage3=False,
+                        report_freq=1, **train_kw)
+    return Config(model=model, train=train,
+                  data=DataConfig(input_dir=synth32),
+                  mesh=MeshConfig(num_devices=8),
+                  exp_name="e2e_test",
+                  root_stats_dir=str(tmp_path / "stats"))
+
+
+def test_full_lct_experiment(synth32, tmp_path):
+    from lctvqa.train.experiment import Experiment
+    cfg = _cfg(synth32, tmp_path)
+    exp = Experiment(cfg)
+    assert exp.mesh is not None and exp.mesh.shape["data"] == 8
+    exp.run()
+
+    # stats recorded
+    assert len(exp.train_ef_loss) == 1
+    assert len(exp.val_ef_loss) == 2  # per-epoch + final val
+    assert np.isfinite(exp.train_ef_loss[0])
+    assert np.isfinite(exp.train_w_loss[0])
+    exp_dir = exp.exp_dir
+    for f in ("ef_model.ckpt", "w_model.ckpt", "train_ef_loss.txt",
+              "ef_train_loss_acc.png", "log.txt"):
+        assert os.path.exists(os.path.join(exp_dir, f)), f
+
+    # resume path: epoch counter restored, params load
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    exp2 = Experiment(cfg2)
+    assert exp2.current_epoch == 1
+    np.testing.assert_allclose(
+        np.asarray(exp2.arch["alphas_normal"]),
+        np.asarray(exp.arch["alphas_normal"]))
+
+
+def test_arch_params_updated_by_stage3(synth32, tmp_path):
+    """Stage 3 must actually move the alphas."""
+    from lctvqa.train.experiment import Experiment
+    cfg = _cfg(synth32, tmp_path / "b", arch_update_freq=1)
+    exp = Experiment(cfg)
+    a0 = np.asarray(exp.arch["alphas_reduce"]).copy()
+    exp.train_epoch()
+    a1 = np.asarray(exp.arch["alphas_reduce"])
+    assert np.abs(a1 - a0).max() > 0
