@@ -212,8 +212,8 @@ def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
     return p
 
 
-def cell_apply(p, s0, s1, alphas, betas, steps, reduction, reduction_prev,
-               k, dtype):
+def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
+               reduction_prev, k, dtype):
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
@@ -231,7 +231,7 @@ def cell_apply(p, s0, s1, alphas, betas, steps, reduction, reduction_prev,
             s = y if s is None else s + y
         offset += len(states)
         states.append(s)
-    return jnp.concatenate(states[-4:], axis=-1)  # multiplier=4 concat
+    return jnp.concatenate(states[-multiplier:], axis=-1)
 
 
 def cell_schedule(cfg: ModelConfig) -> List[dict]:
@@ -313,8 +313,8 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
                          else (w_norm, b_norm))
         s0, s1 = s1, cell_apply(
             cell_p, s0, s1, alphas, betas, cfg.darts_steps,
-            spec["reduction"], spec["reduction_prev"], cfg.darts_partial_k,
-            dtype)
+            cfg.darts_multiplier, spec["reduction"],
+            spec["reduction_prev"], cfg.darts_partial_k, dtype)
     out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
     # flatten in NCHW element order for reference weight compatibility
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)

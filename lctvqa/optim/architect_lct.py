@@ -25,6 +25,15 @@ zero gradient — `exp_zero_grad=2`); W's VGG trunk is frozen
 
 'fd' mode replays steps 1-7 literally with the reference's R = r/||v||
 probes, sharing dropout rngs between +/- probes (common random numbers).
+
+NOTE an intentional semantic difference: the reference's kappa/gamma chain
+perturbs only EF *weights* (alphas are not in `model.parameters()`,
+model_search.py:187-200), so it DROPS the direct first-order path
+alpha -> EF'(alpha).generate -> pseudo answers -> W' -> L_val. 'exact'
+mode includes that term (it is part of the true gradient of the stated
+objective); 'fd' reproduces the reference's truncation. The parity test
+compares 'fd' against an indirect-only exact variant
+(`stop_gradient` on alpha inside the pseudo-QA generation).
 """
 
 from __future__ import annotations
@@ -73,6 +82,8 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
                             batch["answer_label"], rng=rng,
                             deterministic=False)
 
+    indirect_only = mode == "exact-indirect"
+
     def exact(arch, ef_params, w_params, train_batch, val_batch,
               ef_lr, w_lr, rng):
         r1, r2, r3, r4 = jax.random.split(rng, 4)
@@ -80,7 +91,10 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
         def val_after_unrolls(a):
             g_ef = jax.grad(ef_train_loss)(ef_params, a, train_batch, r1)
             ef2 = sgd_step(ef_params, g_ef, ef_lr)
-            pq, pa = pseudo_qa(ef2, a, train_batch["image"], r2)
+            # 'exact-indirect' truncates the direct alpha->generate path the
+            # way the reference's FD scheme implicitly does (see module doc)
+            a_gen = jax.lax.stop_gradient(a) if indirect_only else a
+            pq, pa = pseudo_qa(ef2, a_gen, train_batch["image"], r2)
             g_w = jax.grad(w_soft)(w_params, train_batch, pq, pa, r3)
             w2 = sgd_step(w_params, g_w, w_lr)
             return w_val_loss(w2, val_batch, r4)
@@ -136,4 +150,4 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
         g_a = jax.tree_util.tree_map(lambda g: g * ef_lr * w_lr, gamma)
         return g_a, val_loss
 
-    return exact if mode == "exact" else fd
+    return fd if mode == "fd" else exact

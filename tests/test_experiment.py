@@ -26,14 +26,15 @@ def _cfg(synth32, tmp_path, **train_kw):
     qv = VocabDict(os.path.join(synth32, "vocab_questions.txt"))
     av = VocabDict(os.path.join(synth32, "vocab_answers.txt"))
     model = ModelConfig(
-        img_embed_size=32, word_embed_size=16, lstm_hidden_size=32,
-        max_qst_len=8, qst_vocab_size=qv.vocab_size,
+        img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
+        max_qst_len=6, qst_vocab_size=qv.vocab_size,
         ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
-        darts_layers=2, compute_dtype="float32", vgg_width_mult=0.125,
-        vgg_fc_dim=64)
-    train = TrainConfig(batch_size=8, num_epochs=1, arch_update_freq=2,
-                        skip_stage2=False, skip_stage3=False,
-                        report_freq=1, **train_kw)
+        darts_layers=1, darts_steps=2, darts_multiplier=2,
+        compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
+    train_fields = dict(batch_size=8, num_epochs=1, arch_update_freq=2,
+                        skip_stage2=False, skip_stage3=False, report_freq=1)
+    train_fields.update(train_kw)
+    train = TrainConfig(**train_fields)
     return Config(model=model, train=train,
                   data=DataConfig(input_dir=synth32),
                   mesh=MeshConfig(num_devices=8),
