@@ -168,6 +168,15 @@ def make_unified_steps(cfg: Config):
             "tx": tx, "arch_tx": arch_tx}
 
 
+_DEVICE_KEYS = ("image_u8", "question", "answer_label",
+                "answer_multi_choice", "qa_str")
+
+
+def _dev_batch(batch: dict) -> dict:
+    """Drop host-only fields (image_name, ...) before crossing into jit."""
+    return {k: v for k, v in batch.items() if k in _DEVICE_KEYS}
+
+
 class DartsExperiment:
     """2-stage loop over the npy (v1) dataset."""
 
@@ -248,11 +257,13 @@ class DartsExperiment:
                     batch_idx % self.arch_update_freq == 0:
                 val_batch = next(valid_iter)
                 self.arch, self.arch_opt, v = self.steps["arch"](
-                    self.arch, self.arch_opt, self.params, batch,
-                    val_batch, jnp.float32(lr), self._next_rng())
+                    self.arch, self.arch_opt, self.params,
+                    _dev_batch(batch), _dev_batch(val_batch),
+                    jnp.float32(lr), self._next_rng())
                 self.log(f"| ARCH STEP | val-loss {float(v):.4f}")
             self.params, self.opt, loss = self.steps["train"](
-                self.params, self.opt, self.arch, batch, self._next_rng())
+                self.params, self.opt, self.arch, _dev_batch(batch),
+                self._next_rng())
             total_loss += float(loss)
             nb += 1
             if batch_idx % t.report_freq == 0:
@@ -267,7 +278,8 @@ class DartsExperiment:
         for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
                                                 shuffle=False):
             loss, corr, gen_qst = self.steps["eval"](
-                self.params, self.arch, batch, self._next_rng())
+                self.params, self.arch, _dev_batch(batch),
+                self._next_rng())
             total_loss += float(loss)
             total_corr += int(corr)
             total_b4 += calc_bleu_scores(batch["image_name"],
@@ -344,11 +356,13 @@ class DartsExperimentUnified(DartsExperiment):
                     batch_idx % self.arch_update_freq == 0:
                 val_batch = next(valid_iter)
                 self.arch, self.arch_opt, v = self.steps["arch"](
-                    self.arch, self.arch_opt, self.params, batch,
-                    val_batch, jnp.float32(lr), self._next_rng())
+                    self.arch, self.arch_opt, self.params,
+                    _dev_batch(batch), _dev_batch(val_batch),
+                    jnp.float32(lr), self._next_rng())
                 self.log(f"| ARCH STEP | val-loss {float(v):.4f}")
             self.params, self.opt, loss, qa_pred = self.steps["train"](
-                self.params, self.opt, self.arch, batch, self._next_rng())
+                self.params, self.opt, self.arch, _dev_batch(batch),
+                self._next_rng())
             total_loss += float(loss)
             total_acc += unified_ans_acc(np.asarray(batch["qa_str"]),
                                          np.asarray(qa_pred),
@@ -367,7 +381,8 @@ class DartsExperimentUnified(DartsExperiment):
         for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
                                                 shuffle=False):
             loss, qa_pred, qa_gen = self.steps["eval"](
-                self.params, self.arch, batch, self._next_rng())
+                self.params, self.arch, _dev_batch(batch),
+                self._next_rng())
             total_loss += float(loss)
             total_acc += unified_ans_acc(np.asarray(batch["qa_str"]),
                                          np.asarray(qa_pred),
