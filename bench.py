@@ -136,8 +136,10 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
                       compute_dtype="bfloat16")
     params = vqa_w.init_w_model(jax.random.PRNGKey(0), cfg)
 
+    # params must be jit ARGUMENTS: closing over them bakes ~575MB of
+    # constants into the HLO (catastrophic for remote-compile setups).
     @jax.jit
-    def step(u8, qst):
+    def step(params, u8, qst):
         img = normalize_images(u8)
         return vqa_w.w_forward(params, cfg, img, qst, deterministic=True)
 
@@ -146,10 +148,10 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
                                  dtype=np.uint8))
     qst = jnp.asarray(rng.randint(0, QVOCAB, (BATCH, QLEN)).astype(
         np.int32))
-    step(u8, qst).block_until_ready()  # compile + warmup
+    step(params, u8, qst).block_until_ready()  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(u8, qst)
+        out = step(params, u8, qst)
     out.block_until_ready()
     dt = time.perf_counter() - t0
     return BATCH * iters / dt

@@ -75,8 +75,30 @@ class VqaH5Dataset:
                 for i in self.img_id[idx]]
 
     def gather(self, idx: np.ndarray, rng: np.random.Generator,
-               max_num_ans: int = 10) -> Dict[str, np.ndarray]:
-        """Vectorized batch assembly for question indices `idx`."""
+               max_num_ans: int = 10,
+               use_native: bool = True) -> Dict[str, np.ndarray]:
+        """Vectorized batch assembly for question indices `idx`.
+
+        Uses the C++ core (lctvqa.native) when built: fused row gather +
+        answer sampling + multi-choice packing without numpy temporaries.
+        """
+        if use_native:
+            from lctvqa import native
+            if native.available():
+                idx = np.ascontiguousarray(idx, np.int32)
+                enc_ans = native.gather_rows(self.enc_ans, idx)
+                seed = int(rng.integers(0, 2 ** 62))
+                labels, mc = native.sample_answers(
+                    enc_ans, self.ans_vocab.unk2idx, seed, max_num_ans)
+                return {
+                    "image_u8": native.gather_rows(self.images,
+                                                   self.img_row[idx]),
+                    "question": self.enc_qst[idx],
+                    "qst_len": self.qst_len[idx],
+                    "answer_label": labels,
+                    "answer_multi_choice": mc,
+                    "index": idx,
+                }
         enc_ans = self.enc_ans[idx]                      # [B, A]
         b, a = enc_ans.shape
         valid = enc_ans > 0

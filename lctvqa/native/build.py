@@ -1,0 +1,24 @@
+"""Build the native data-loader core: python -m lctvqa.native.build"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def build(verbose: bool = True) -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "src", "native.cpp")
+    out = os.path.join(here, "liblctvqa_native.so")
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    if verbose:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return out
+
+
+if __name__ == "__main__":
+    path = build()
+    print(f"built {path}")
+    sys.exit(0)
