@@ -32,10 +32,11 @@ def w_qst_encoder_init(key, qst_vocab_size, word_embed_size, embed_size,
     }
 
 
-def w_qst_encoder(params, question, dtype=None):
+def w_qst_encoder(params, question, dtype=None, use_pallas=False):
     """question int32 [B, T] -> [B, embed_size]."""
     x = jnp.tanh(N.embed(params["word2vec"], question))
-    _, (h_n, c_n) = lstm(params["lstm"], x, dtype=dtype)
+    _, (h_n, c_n) = lstm(params["lstm"], x, dtype=dtype,
+                         use_pallas=use_pallas)
     # cat(h, c) along feature, then [L,B,2H] -> [B, L*2H] as in the reference
     feat = jnp.concatenate([h_n, c_n], axis=2)
     feat = jnp.swapaxes(feat, 0, 1).reshape(question.shape[0], -1)
@@ -55,7 +56,8 @@ def ef_qst_encoder_init(key, qst_vocab_size, word_embed_size, embed_size,
     }
 
 
-def ef_qst_encoder(params, question, image_embedding, dtype=None):
+def ef_qst_encoder(params, question, image_embedding, dtype=None,
+                   use_pallas=False):
     """Teacher-forced forward conditioned on the image.
 
     Returns (qst_feature [B, embed], qst_logits [B, T, V]).
@@ -65,7 +67,8 @@ def ef_qst_encoder(params, question, image_embedding, dtype=None):
     b = question.shape[0]
     h0 = image_embedding.reshape(1, b, -1)
     x = jnp.tanh(N.embed(params["word2vec"], question))
-    outs, (h_n, c_n) = lstm(params["lstm"], x, h0=h0, c0=h0, dtype=dtype)
+    outs, (h_n, c_n) = lstm(params["lstm"], x, h0=h0, c0=h0, dtype=dtype,
+                            use_pallas=use_pallas)
     feat = jnp.concatenate([h_n, c_n], axis=2)
     feat = jnp.swapaxes(feat, 0, 1).reshape(b, -1)
     qst_feature = N.linear(params["fc1"], jnp.tanh(feat), dtype=dtype)
@@ -77,7 +80,7 @@ def ef_qst_generate(params, image_embedding, max_length: int,
                     rng: Optional[jax.Array] = None,
                     deterministic: bool = True,
                     temperature: float = 0.1,
-                    dtype=None) -> jax.Array:
+                    dtype=None, use_pallas=False) -> jax.Array:
     """Autoregressive question generation as one `lax.scan`.
 
     Mirrors `models_lct.py:124-170`: the `<start>` embedding gets a tanh
@@ -102,7 +105,7 @@ def ef_qst_generate(params, image_embedding, max_length: int,
 
     def step(carry, step_rng):
         h, c, x = carry
-        h2, c2 = lstm_cell(lp, x, h, c, dtype=dtype)
+        h2, c2 = lstm_cell(lp, x, h, c, dtype=dtype, use_pallas=use_pallas)
         logits = N.linear(params["fc2"], jnp.tanh(h2), dtype=dtype)
         if deterministic:
             tok = jnp.argmax(logits, axis=-1)

@@ -77,7 +77,8 @@ def unified_forward(params, arch, cfg: ModelConfig, img, qa_str,
     b = qa_str.shape[0]
     h0 = img_feature.reshape(1, b, -1)
     x = jnp.tanh(N.embed(params["qa"]["word2vec"], qa_str))
-    outs, _ = lstm(params["qa"]["lstm"], x, h0=h0, c0=h0, dtype=dt)
+    outs, _ = lstm(params["qa"]["lstm"], x, h0=h0, c0=h0, dtype=dt,
+                   use_pallas=cfg.use_pallas_lstm)
     return N.linear(params["qa"]["fc2"], jnp.tanh(outs), dtype=dt)
 
 
@@ -90,7 +91,8 @@ def unified_generate(params, arch, cfg: ModelConfig, img,
     img_feature = _img_encode(params, arch, cfg, img, rng, deterministic)
     return ef_qst_generate(params["qa"], img_feature, cfg.max_qst_len,
                            rng=rng, deterministic=sample_deterministic,
-                           temperature=temperature, dtype=_dtype(cfg))
+                           temperature=temperature, dtype=_dtype(cfg),
+                           use_pallas=cfg.use_pallas_lstm)
 
 
 def unified_loss(params, arch, cfg: ModelConfig, img, qa_str,

@@ -93,8 +93,9 @@ def ef_forward(params, arch, cfg: ModelConfig, img, qst,
     else:
         r_enc = r_head = None
     img_feature = ef_img_encode(params, arch, cfg, img, r_enc, deterministic)
-    qst_feature, qst_logits = ef_qst_encoder(params["qst"], qst, img_feature,
-                                             dtype=dt)
+    qst_feature, qst_logits = ef_qst_encoder(
+        params["qst"], qst, img_feature, dtype=dt,
+        use_pallas=cfg.use_pallas_lstm)
     ans = _answer_head(params, cfg, img_feature, qst_feature, r_head,
                        deterministic)
     return ans, qst_logits
@@ -120,8 +121,11 @@ def ef_generate(params, arch, cfg: ModelConfig, img,
     img_feature = ef_img_encode(params, arch, cfg, img, r_enc, deterministic)
     qst = ef_qst_generate(params["qst"], img_feature, cfg.max_qst_len,
                           rng=r_sample, deterministic=sample_deterministic,
-                          temperature=temperature, dtype=dt)
-    qst_feature, _ = ef_qst_encoder(params["qst"], qst, img_feature, dtype=dt)
+                          temperature=temperature, dtype=dt,
+                          use_pallas=cfg.use_pallas_lstm)
+    qst_feature, _ = ef_qst_encoder(params["qst"], qst, img_feature,
+                                    dtype=dt,
+                                    use_pallas=cfg.use_pallas_lstm)
     ans = _answer_head(params, cfg, img_feature, qst_feature, r_head,
                        deterministic)
     return qst, ans

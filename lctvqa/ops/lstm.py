@@ -37,8 +37,14 @@ def lstm_init(key, input_size: int, hidden_size: int, num_layers: int = 1):
     return {"layers": layers}
 
 
-def lstm_cell(layer_params, x, h, c, dtype=None):
-    """One step. x [B, in], h/c [B, H] -> (h', c'). Torch gate order i,f,g,o."""
+def lstm_cell(layer_params, x, h, c, dtype=None, use_pallas=False):
+    """One step. x [B, in], h/c [B, H] -> (h', c'). Torch gate order i,f,g,o.
+
+    use_pallas routes to the fused Pallas TPU kernel (ops/pallas_lstm.py).
+    """
+    if use_pallas:
+        from lctvqa.ops.pallas_lstm import lstm_cell_pallas
+        return lstm_cell_pallas(layer_params, x, h, c, dtype=dtype)
     w_ih, w_hh = layer_params["w_ih"], layer_params["w_hh"]
     if dtype is not None:
         x, h = x.astype(dtype), h.astype(dtype)
@@ -56,7 +62,7 @@ def lstm_cell(layer_params, x, h, c, dtype=None):
     return h_new, c_new
 
 
-def lstm(params, xs, h0=None, c0=None, dtype=None):
+def lstm(params, xs, h0=None, c0=None, dtype=None, use_pallas=False):
     """Run a (possibly stacked) LSTM over a batch-major sequence.
 
     xs: [B, T, in]. h0/c0: [num_layers, B, H] or None (zeros).
@@ -76,7 +82,8 @@ def lstm(params, xs, h0=None, c0=None, dtype=None):
     for l, lp in enumerate(layers):
         def step(carry, x_t, lp=lp):
             h, c = carry
-            h2, c2 = lstm_cell(lp, x_t, h, c, dtype=dtype)
+            h2, c2 = lstm_cell(lp, x_t, h, c, dtype=dtype,
+                               use_pallas=use_pallas)
             return (h2, c2), h2
 
         (h_n, c_n), seq = jax.lax.scan(step, (h0[l], c0[l]), seq)

@@ -1,0 +1,86 @@
+"""Pallas kernel correctness (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from lctvqa.ops.lstm import lstm_cell, lstm_init
+from lctvqa.ops.pallas_lstm import lstm_cell_pallas
+
+
+def _setup(b=8, in_sz=16, hid=32, seed=0):
+    params = lstm_init(jax.random.PRNGKey(seed), in_sz, hid, 1)
+    lp = params["layers"][0]
+    k = jax.random.PRNGKey(seed + 1)
+    k1, k2, k3 = jax.random.split(k, 3)
+    x = jax.random.normal(k1, (b, in_sz))
+    h = jax.random.normal(k2, (b, hid))
+    c = jax.random.normal(k3, (b, hid))
+    return lp, x, h, c
+
+
+def test_fused_cell_matches_reference_forward():
+    lp, x, h, c = _setup()
+    h_ref, c_ref = lstm_cell(lp, x, h, c)
+    h_pal, c_pal = lstm_cell_pallas(lp, x, h, c)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_cell_custom_vjp_matches_autodiff():
+    lp, x, h, c = _setup(seed=3)
+
+    def loss_ref(lp, x, h, c):
+        h2, c2 = lstm_cell(lp, x, h, c)
+        return jnp.sum(h2 ** 2) + jnp.sum(jnp.tanh(c2))
+
+    def loss_pal(lp, x, h, c):
+        h2, c2 = lstm_cell_pallas(lp, x, h, c)
+        return jnp.sum(h2 ** 2) + jnp.sum(jnp.tanh(c2))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(lp, x, h, c)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(lp, x, h, c)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_fused_cell_under_scan():
+    """Must work inside lax.scan (the generate loop) and match."""
+    from lctvqa.ops.lstm import lstm
+    params = lstm_init(jax.random.PRNGKey(5), 8, 16, 1)
+    xs = jax.random.normal(jax.random.PRNGKey(6), (4, 10, 8))
+    out_ref, (h_ref, c_ref) = lstm(params, xs, use_pallas=False)
+    out_pal, (h_pal, c_pal) = lstm(params, xs, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_cell_in_model_forward():
+    """End-to-end: EF forward with use_pallas_lstm=True equals the jnp
+    path (deterministic, fp32)."""
+    import dataclasses
+
+    from lctvqa.config import small_test_config
+    from lctvqa.models import vqa_ef
+    cfg = small_test_config().model
+    cfg_p = dataclasses.replace(cfg, use_pallas_lstm=True)
+    key = jax.random.PRNGKey(7)
+    img = jax.random.normal(key, (2, cfg.img_size, cfg.img_size, 3))
+    qst = jax.random.randint(key, (2, cfg.max_qst_len), 0,
+                             cfg.qst_vocab_size)
+    params, arch = vqa_ef.init_ef_model(key, cfg)
+    ans_ref, qlog_ref = jax.jit(
+        lambda: vqa_ef.ef_forward(params, arch, cfg, img, qst))()
+    ans_pal, qlog_pal = jax.jit(
+        lambda: vqa_ef.ef_forward(params, arch, cfg_p, img, qst))()
+    np.testing.assert_allclose(np.asarray(ans_pal), np.asarray(ans_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qlog_pal), np.asarray(qlog_ref),
+                               rtol=1e-4, atol=1e-5)
