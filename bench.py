@@ -148,18 +148,22 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
                                  dtype=np.uint8))
     qst = jnp.asarray(rng.randint(0, QVOCAB, (BATCH, QLEN)).astype(
         np.int32))
-    step(params, u8, qst).block_until_ready()  # compile + warmup
+    # NOTE: on the axon tunnel block_until_ready() does not actually block;
+    # a scalar readback does. Executions are stream-ordered, so reading the
+    # last output forces the whole queued sequence.
+    float(step(params, u8, qst)[0, 0])  # compile + warmup
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = step(params, u8, qst)
-    out.block_until_ready()
+    float(out[0, 0])
     dt = time.perf_counter() - t0
     return BATCH * iters / dt
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=100)
     args = p.parse_args()
     baseline = _get_baseline()
     value = tpu_pairs_per_sec(args.iters)
