@@ -26,8 +26,12 @@ class ModelConfig:
     ans_vocab_size: int = 1000
     img_size: int = 64
     dropout_rate: float = 0.5
-    # 'fixed' -> VGG19 image encoder; 'darts' -> PC-DARTS search network.
+    # 'fixed' -> VGG19 image encoder; 'darts' -> PC-DARTS search network;
+    # 'derived' -> fixed network built from `genotype` (post-search retrain).
     arch_type: str = "darts"
+    # Genotype for arch_type='derived' (models/genotypes.py presets or a
+    # search result). Stored as the Genotype namedtuple.
+    genotype: object = None
     pretrained_enc: bool = True    # PRETRAIN_ENC: freeze the VGG features+fc6/7
     # test-only shrink knobs for the VGG19 trunk (production: 1.0 / 4096)
     vgg_width_mult: float = 1.0

@@ -1,0 +1,116 @@
+"""Fixed network built from a discovered Genotype — the "derived
+architecture" trained after PC-DARTS search (BASELINE.json config #5:
+"PC-DARTS cell search ... then derived-arch train").
+
+The reference repo logs genotypes per epoch (`experiment.py:136-137`) but
+ships no derived-network trainer (its `train_search.py` is dead upstream
+code, SURVEY.md §1); this completes the search -> derive -> retrain loop.
+Cell structure follows the standard DARTS derived network: per node, two
+chosen ops (stride 2 for reduction-cell edges from the two cell inputs),
+affine BNs, node states summed, `concat` nodes concatenated.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from lctvqa.config import ModelConfig
+from lctvqa.models.genotypes import Genotype
+from lctvqa.models.search import (OUTPUT_SIZE, cell_schedule,
+                                  factorized_reduce_apply,
+                                  factorized_reduce_init, op_apply, op_init,
+                                  relu_conv_bn_apply, relu_conv_bn_init)
+from lctvqa.ops import conv as C
+
+
+def _gene(genotype: Genotype, reduction: bool):
+    gene = genotype.reduce if reduction else genotype.normal
+    concat = (genotype.reduce_concat if reduction
+              else genotype.normal_concat)
+    return list(gene), list(concat)
+
+
+def derived_out_features(cfg: ModelConfig, genotype: Genotype) -> int:
+    sched = cell_schedule(cfg)
+    _, concat = _gene(genotype, sched[-1]["reduction"])
+    return len(concat) * sched[-1]["c"] * OUTPUT_SIZE * OUTPUT_SIZE
+
+
+def derived_cell_init(key, genotype, c_pp, c_p, c, reduction,
+                      reduction_prev):
+    k0, k1, key = jax.random.split(key, 3)
+    p = {}
+    if reduction_prev:
+        p["pre0"] = factorized_reduce_init(k0, c_pp, c, affine=True)
+    else:
+        p["pre0"] = relu_conv_bn_init(k0, c_pp, c, affine=True)
+    p["pre1"] = relu_conv_bn_init(k1, c_p, c, affine=True)
+    gene, _ = _gene(genotype, reduction)
+    ops = []
+    for name, from_idx in gene:
+        key, kk = jax.random.split(key)
+        stride = 2 if reduction and from_idx < 2 else 1
+        ops.append(op_init(kk, name, c, stride, affine=True))
+    p["ops"] = ops
+    return p
+
+
+def derived_cell_apply(p, s0, s1, genotype, reduction, reduction_prev,
+                       dtype):
+    if reduction_prev:
+        s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
+    else:
+        s0 = relu_conv_bn_apply(p["pre0"], s0, dtype)
+    s1 = relu_conv_bn_apply(p["pre1"], s1, dtype)
+    gene, concat = _gene(genotype, reduction)
+    states = [s0, s1]
+    # gene lists 2 ops per node: node i consumes gene[2i], gene[2i+1]
+    for i in range(len(gene) // 2):
+        parts = []
+        for j in (2 * i, 2 * i + 1):
+            name, from_idx = gene[j]
+            stride = 2 if reduction and from_idx < 2 else 1
+            parts.append(op_apply(p["ops"][j], name, states[from_idx],
+                                  stride, dtype))
+        states.append(parts[0] + parts[1])
+    return jnp.concatenate([states[i] for i in concat], axis=-1)
+
+
+def derived_network_init(key, cfg: ModelConfig, genotype: Genotype):
+    """Stem + derived cells; same channel/reduction plan as the search
+    network (cell_schedule), so a searched arch retrains at equal size."""
+    k_stem, key = jax.random.split(key)
+    c_stem = cfg.darts_stem_multiplier * cfg.darts_init_ch
+    p = {
+        "stem_conv": C.torch_conv_init(k_stem, 3, 3, 3, c_stem),
+        "stem_bn": C.batchnorm_init(c_stem, affine=True),
+        "cells": [],
+    }
+    # the channel plan assumes each cell concats `darts_multiplier` nodes
+    for red in (False, True):
+        _, concat = _gene(genotype, red)
+        assert len(concat) == cfg.darts_multiplier, (
+            f"genotype concat width {len(concat)} != darts_multiplier "
+            f"{cfg.darts_multiplier}")
+    for spec in cell_schedule(cfg):
+        key, kk = jax.random.split(key)
+        p["cells"].append(derived_cell_init(
+            kk, genotype, spec["c_pp"], spec["c_p"], spec["c"],
+            spec["reduction"], spec["reduction_prev"]))
+    return p
+
+
+def derived_network_apply(p, cfg: ModelConfig, genotype: Genotype, x,
+                          dtype=None):
+    s = C.conv2d(p["stem_conv"], x, stride=1, padding=1, dtype=dtype)
+    s0 = s1 = C.batchnorm(p["stem_bn"], s)
+    for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
+        s0, s1 = s1, derived_cell_apply(
+            cell_p, s0, s1, genotype, spec["reduction"],
+            spec["reduction_prev"], dtype)
+    out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
+    out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
+    return out

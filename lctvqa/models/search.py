@@ -38,14 +38,18 @@ OUTPUT_SIZE = 7  # AdaptiveAvgPool2d(7) (model_search.py:130)
 # affine=False => parameter-free batch-stat normalization.
 # --------------------------------------------------------------------------
 
-def _sep_conv_init(key, ch, k):
+def _sep_conv_init(key, ch, k, affine=False):
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    return {
+    p = {
         "dw1": C.torch_conv_init(k1, k, k, ch, ch, groups=ch),
         "pw1": C.torch_conv_init(k2, 1, 1, ch, ch),
         "dw2": C.torch_conv_init(k3, k, k, ch, ch, groups=ch),
         "pw2": C.torch_conv_init(k4, 1, 1, ch, ch),
     }
+    if affine:
+        p["bn1"] = C.batchnorm_init(ch)
+        p["bn2"] = C.batchnorm_init(ch)
+    return p
 
 
 def _sep_conv_apply(p, x, stride, k, dtype):
@@ -54,19 +58,22 @@ def _sep_conv_apply(p, x, stride, k, dtype):
     y = C.depthwise_conv2d(p["dw1"], y, stride=stride, padding=pad,
                            dtype=dtype)
     y = C.conv2d(p["pw1"], y, dtype=dtype)
-    y = C.batchnorm({}, y)
+    y = C.batchnorm(p.get("bn1", {}), y)
     y = jnp.maximum(y, 0.0)
     y = C.depthwise_conv2d(p["dw2"], y, stride=1, padding=pad, dtype=dtype)
     y = C.conv2d(p["pw2"], y, dtype=dtype)
-    return C.batchnorm({}, y)
+    return C.batchnorm(p.get("bn2", {}), y)
 
 
-def _dil_conv_init(key, ch, k):
+def _dil_conv_init(key, ch, k, affine=False):
     k1, k2 = jax.random.split(key)
-    return {
+    p = {
         "dw": C.torch_conv_init(k1, k, k, ch, ch, groups=ch),
         "pw": C.torch_conv_init(k2, 1, 1, ch, ch),
     }
+    if affine:
+        p["bn"] = C.batchnorm_init(ch)
+    return p
 
 
 def _dil_conv_apply(p, x, stride, k, dtype):
@@ -75,16 +82,19 @@ def _dil_conv_apply(p, x, stride, k, dtype):
     y = C.depthwise_conv2d(p["dw"], y, stride=stride, padding=pad,
                            dilation=2, dtype=dtype)
     y = C.conv2d(p["pw"], y, dtype=dtype)
-    return C.batchnorm({}, y)
+    return C.batchnorm(p.get("bn", {}), y)
 
 
-def factorized_reduce_init(key, c_in, c_out):
+def factorized_reduce_init(key, c_in, c_out, affine=False):
     assert c_out % 2 == 0
     k1, k2 = jax.random.split(key)
-    return {
+    p = {
         "conv1": C.torch_conv_init(k1, 1, 1, c_in, c_out // 2),
         "conv2": C.torch_conv_init(k2, 1, 1, c_in, c_out // 2),
     }
+    if affine:
+        p["bn"] = C.batchnorm_init(c_out)
+    return p
 
 
 def factorized_reduce_apply(p, x, dtype):
@@ -93,32 +103,35 @@ def factorized_reduce_apply(p, x, dtype):
     y = jnp.maximum(x, 0.0)
     a = C.conv2d(p["conv1"], y, stride=2, dtype=dtype)
     b = C.conv2d(p["conv2"], y[:, 1:, 1:, :], stride=2, dtype=dtype)
-    return C.batchnorm({}, jnp.concatenate([a, b], axis=-1))
+    return C.batchnorm(p.get("bn", {}), jnp.concatenate([a, b], axis=-1))
 
 
-def relu_conv_bn_init(key, c_in, c_out):
-    return {"conv": C.torch_conv_init(key, 1, 1, c_in, c_out)}
+def relu_conv_bn_init(key, c_in, c_out, affine=False):
+    p = {"conv": C.torch_conv_init(key, 1, 1, c_in, c_out)}
+    if affine:
+        p["bn"] = C.batchnorm_init(c_out)
+    return p
 
 
 def relu_conv_bn_apply(p, x, dtype):
     y = jnp.maximum(x, 0.0)
     y = C.conv2d(p["conv"], y, dtype=dtype)
-    return C.batchnorm({}, y)
+    return C.batchnorm(p.get("bn", {}), y)
 
 
-def op_init(key, prim: str, ch: int, stride: int):
+def op_init(key, prim: str, ch: int, stride: int, affine: bool = False):
     if prim == "sep_conv_3x3":
-        return _sep_conv_init(key, ch, 3)
+        return _sep_conv_init(key, ch, 3, affine)
     if prim == "sep_conv_5x5":
-        return _sep_conv_init(key, ch, 5)
+        return _sep_conv_init(key, ch, 5, affine)
     if prim == "sep_conv_7x7":
-        return _sep_conv_init(key, ch, 7)
+        return _sep_conv_init(key, ch, 7, affine)
     if prim == "dil_conv_3x3":
-        return _dil_conv_init(key, ch, 3)
+        return _dil_conv_init(key, ch, 3, affine)
     if prim == "dil_conv_5x5":
-        return _dil_conv_init(key, ch, 5)
+        return _dil_conv_init(key, ch, 5, affine)
     if prim == "skip_connect" and stride != 1:
-        return factorized_reduce_init(key, ch, ch)
+        return factorized_reduce_init(key, ch, ch, affine)
     return {}  # none / pools / identity have no parameters
 
 

@@ -36,6 +36,12 @@ def init_ef_model(key, cfg: ModelConfig, vgg_params=None):
         params["darts"] = search.network_init(k1, cfg)
         in_features = search.network_out_features(cfg)
         arch = search.arch_init(k6, cfg)
+    elif cfg.arch_type == "derived":
+        from lctvqa.models import derived
+        assert cfg.genotype is not None, "arch_type='derived' needs genotype"
+        params["derived"] = derived.derived_network_init(k1, cfg,
+                                                         cfg.genotype)
+        in_features = derived.derived_out_features(cfg, cfg.genotype)
     else:
         params["vgg"] = vgg_params if vgg_params is not None \
             else vgg.vgg19_init(k1, cfg.vgg_width_mult, cfg.vgg_fc_dim)
@@ -59,6 +65,10 @@ def ef_img_encode(params, arch, cfg: ModelConfig, img,
     if cfg.arch_type == "darts":
         feat = search.network_apply(params["darts"], arch, cfg, img,
                                     dtype=dt)
+    elif cfg.arch_type == "derived":
+        from lctvqa.models import derived
+        feat = derived.derived_network_apply(params["derived"], cfg,
+                                             cfg.genotype, img, dtype=dt)
     else:
         vgg_params = params["vgg"]
         if cfg.pretrained_enc:
