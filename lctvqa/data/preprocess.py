@@ -181,6 +181,30 @@ def build_images_h5(image_dirs: Dict[str, str], output_dir: str,
     return out_file
 
 
+def resize_images_dir(input_dir: str, output_dir: str,
+                      size: int = 224) -> int:
+    """Plain JPEG resize into a mirrored directory tree (for the v1 npy
+    loader; `utils/resize_images.py:11-38`). Returns images written."""
+    from PIL import Image
+
+    count = 0
+    for root, _dirs, files in os.walk(input_dir):
+        rel = os.path.relpath(root, input_dir)
+        out_root = os.path.join(output_dir, rel)
+        os.makedirs(out_root, exist_ok=True)
+        for name in files:
+            if not name.lower().endswith((".jpg", ".jpeg", ".png")):
+                continue
+            try:
+                with Image.open(os.path.join(root, name)) as img:
+                    img = img.convert("RGB").resize((size, size))
+                    img.save(os.path.join(out_root, name))
+                count += 1
+            except (IOError, OSError) as e:
+                print(f"skipping corrupt image {name}: {e}")
+    return count
+
+
 def build_npy_inputs(input_dir: str, image_dir: str, output_dir: str,
                      splits: Sequence[str] = ("train2014", "val2014")
                      ) -> None:

@@ -1,0 +1,110 @@
+"""Checkpoint evaluation CLI — the reference's `model-eval.ipynb` as a
+script: load an experiment checkpoint, report val loss / multi-choice
+accuracy / BLEU4, and print deterministic vs temperature-sampled generated
+questions for a few images.
+
+    python -m lctvqa.eval --exp my_exp --input_dir data/vqa/hdf5_64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--root_stats_dir", type=str, default="./experiment_data")
+    p.add_argument("--input_dir", type=str, default="data/vqa/hdf5_64")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_batches", type=int, default=4)
+    p.add_argument("--num_show", type=int, default=4)
+    p.add_argument("--temperature", type=float, default=0.1)
+    p.add_argument("--arch_type", type=str, default="darts")
+    p.add_argument("--img_size", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lctvqa.config import Config, DataConfig, ModelConfig, TrainConfig
+    from lctvqa.data import pipeline
+    from lctvqa.models import search, vqa_ef
+    from lctvqa.text import VocabDict
+    from lctvqa.train import checkpoint
+    from lctvqa.train.metrics import (VqaStruct, calc_bleu_scores, mask_unk,
+                                      num_correct)
+
+    qv = VocabDict(os.path.join(args.input_dir, "vocab_questions.txt"))
+    av = VocabDict(os.path.join(args.input_dir, "vocab_answers.txt"))
+    mcfg = ModelConfig(arch_type=args.arch_type, img_size=args.img_size,
+                       qst_vocab_size=qv.vocab_size,
+                       ans_vocab_size=av.vocab_size)
+
+    exp_dir = os.path.join(args.root_stats_dir, args.exp)
+    state = checkpoint.load_state(os.path.join(exp_dir, "ef_model.ckpt"))
+    ef_params, arch = state["ef_params"], state["arch"]
+    print(f"loaded epoch {state['epoch']} from {exp_dir}")
+    if arch is not None:
+        print("genotype:", search.genotype(arch))
+
+    data = pipeline.VqaH5Dataset(args.input_dir, "val")
+    vqa_struct = VqaStruct(args.input_dir, "valid.npy")
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def eval_step(params, arch, u8, qst, labels, mc):
+        img = pipeline.normalize_images(u8)
+        ans_logits, _ = vqa_ef.ef_forward(params, arch, mcfg, img, qst,
+                                          deterministic=True)
+        pred = jnp.argmax(ans_logits, axis=1)
+        corr = num_correct(mask_unk(pred, av.unk2idx), mc)
+        gen_det, gen_ans = vqa_ef.ef_generate(params, arch, mcfg, img,
+                                              deterministic=True)
+        return corr, gen_det, jnp.argmax(gen_ans, 1)
+
+    @jax.jit
+    def sample_step(params, arch, u8, key):
+        img = pipeline.normalize_images(u8)
+        gen, _ = vqa_ef.ef_generate(params, arch, mcfg, img, rng=key,
+                                    deterministic=True,
+                                    sample_deterministic=False,
+                                    temperature=args.temperature)
+        return gen
+
+    total_corr = n = 0
+    total_b4 = 0.0
+    for bi, batch in enumerate(pipeline.epoch_batches(
+            data, args.batch_size, rng, shuffle=False)):
+        if bi >= args.num_batches:
+            break
+        corr, gen_det, gen_pred = eval_step(
+            ef_params, arch, batch["image_u8"], batch["question"],
+            batch["answer_label"], batch["answer_multi_choice"])
+        total_corr += int(corr)
+        n += len(batch["image_u8"])
+        names = data.image_names(batch["index"])
+        total_b4 += calc_bleu_scores(names, np.asarray(gen_det), qv,
+                                     vqa_struct)
+        if bi == 0:
+            gen_sto = sample_step(ef_params, arch, batch["image_u8"],
+                                  jax.random.PRNGKey(1))
+            print("\n=== deterministic vs stochastic generation ===")
+            for i in range(min(args.num_show, len(names))):
+                gt = qv.arr2qst(batch["question"][i])
+                print(f"[{names[i]}]")
+                print(f"  gt:     {gt}")
+                print(f"  argmax: {qv.arr2qst(np.asarray(gen_det)[i])} "
+                      f"-> {av.idx2word(int(gen_pred[i]))}")
+                print(f"  T={args.temperature}: "
+                      f"{qv.arr2qst(np.asarray(gen_sto)[i])}")
+    print(f"\nval multi-choice acc (unk-masked): {total_corr / n:.4f} "
+          f"over {n} items; BLEU4 {total_b4 / min(args.num_batches, bi + 1):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,7 @@ from lctvqa.parallel import mesh as mesh_lib
 from lctvqa.train import checkpoint, stats
 from lctvqa.train.metrics import VqaStruct, calc_bleu_scores
 from lctvqa.train.steps import make_lct_steps
+from lctvqa.train.timing import StageTimer, trace
 
 
 class Experiment:
@@ -85,6 +86,9 @@ class Experiment:
         self.train_ef_loss, self.train_ef_acc = [], []
         self.val_ef_loss, self.val_ef_acc = [], []
         self.train_w_loss, self.train_w_acc = [], []
+
+        self.timer = StageTimer()
+        self.profile_dir = None  # set to a path to capture a jax profile
 
         self._load_experiment()
         self.log(f"seed: {seed}")
@@ -158,7 +162,8 @@ class Experiment:
                 self.log(f"genotype: {self.genotype()}")
             self.current_epoch = epoch
             self.set_arch_update_freq()
-            self.train_epoch()
+            with trace(self.profile_dir):
+                self.train_epoch()
             self.val()
             self.save_model()
             self._record_stats()
@@ -191,18 +196,24 @@ class Experiment:
         for batch_idx, batch in enumerate(self._batches("train")):
             last_batch = batch
             if do_stage3 and batch_idx % self.arch_update_freq == 0:
-                val_batch = mesh_lib.shard_batch(next(valid_iter), self.mesh)
-                self.arch, self.arch_opt, s3_loss = self.steps["stage3"](
-                    self.arch, self.arch_opt, self.ef_params, self.w_params,
-                    batch, val_batch, jnp.float32(ef_lr),
-                    jnp.float32(w_lr), self._next_rng())
+                with self.timer.stage("stage3"):
+                    val_batch = mesh_lib.shard_batch(next(valid_iter),
+                                                     self.mesh)
+                    self.arch, self.arch_opt, s3_loss = self.steps[
+                        "stage3"](self.arch, self.arch_opt, self.ef_params,
+                                  self.w_params, batch, val_batch,
+                                  jnp.float32(ef_lr), jnp.float32(w_lr),
+                                  self._next_rng())
+                    s3_loss = float(s3_loss)
                 self.log(f"| TRAIN SET | STAGE3 | W'-Val-Loss: "
-                         f"{float(s3_loss):.4f}")
+                         f"{s3_loss:.4f}")
 
-            self.ef_params, self.ef_opt, loss, c1, c2 = self.steps[
-                "stage1"](self.ef_params, self.arch, self.ef_opt, batch,
-                          self._next_rng())
-            ef_loss += float(loss)
+            with self.timer.stage("stage1"):
+                self.ef_params, self.ef_opt, loss, c1, c2 = self.steps[
+                    "stage1"](self.ef_params, self.arch, self.ef_opt,
+                              batch, self._next_rng())
+                loss = float(loss)
+            ef_loss += loss
             ef_corr1 += int(c1)
             ef_corr2 += int(c2)
             if batch_idx % t.report_freq == 0:
@@ -223,7 +234,7 @@ class Experiment:
                         f"| TRAIN SET | STAGE2 | Epoch "
                         f"[{self.current_epoch + 1:02d}/{self.epochs:02d}],"
                         f" Step [{batch_idx:04d}/{batch_step_size:04d}], "
-                        f"W-Loss: {float(loss2):.4f}")
+                        f"W-Loss: {loss2:.4f}")
 
         self.train_ef_loss.append(ef_loss / batch_step_size)
         self.train_ef_acc.append(ef_corr2 / n)
@@ -237,6 +248,8 @@ class Experiment:
             f"EF-Acc: {self.train_ef_acc[-1]:.4f}, "
             f"W-Loss: {self.train_w_loss[-1]:.4f}, "
             f"W-Acc: {self.train_w_acc[-1]:.4f}")
+        self.log(f"| TIMING | {self.timer.summary()}")
+        self.timer.reset()
         if last_batch is not None:
             self.evaluate_gen_qst(last_batch)
 
