@@ -43,11 +43,15 @@ def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    # No preferred_element_type upcast: this JAX version's conv transpose
+    # rule rejects mixed (bf16 operand, f32 cotangent). The TPU MXU
+    # accumulates in fp32 internally regardless of the bf16 output dtype;
+    # results are upcast to fp32 right here.
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=DIMNUMS,
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32)
+        feature_group_count=groups)
+    y = y.astype(jnp.float32)
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y
