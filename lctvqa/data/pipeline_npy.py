@@ -77,7 +77,9 @@ class VqaNpyDataset:
     def encode_question(self, rec) -> np.ndarray:
         q = np.full(self.max_qst_length, self.qst_vocab.word2idx("<pad>"),
                     np.int32)
-        toks = rec["question_tokens"]
+        # truncate to fit <start> ... <end> (the reference would index out
+        # of bounds here; VQA questions always fit its width of 30)
+        toks = rec["question_tokens"][: self.max_qst_length - 2]
         q[0] = self.qst_vocab.word2idx("<start>")
         q[1:len(toks) + 1] = [self.qst_vocab.word2idx(w) for w in toks]
         q[len(toks) + 1] = self.qst_vocab.word2idx("<end>")
@@ -136,13 +138,15 @@ class VqaNpyDatasetUnified(VqaNpyDataset):
         rec = self.vqa[idx]
         v = self.unified_vocab
         qa = np.full(self.max_qst_length, v.word2idx("<pad>"), np.int32)
-        toks = rec["question_tokens"]
+        ans = rec["valid_answers"][rng.integers(
+            len(rec["valid_answers"]))].split()
+        # truncate question so <start> q <sep> a <end> always fits
+        max_q = self.max_qst_length - 3 - len(ans)
+        toks = rec["question_tokens"][:max(max_q, 0)]
         qlen = len(toks)
         qa[0] = v.word2idx("<start>")
         qa[1:qlen + 1] = [v.word2idx(w) for w in toks]
         qa[qlen + 1] = v.word2idx("<sep>")
-        ans = rec["valid_answers"][rng.integers(
-            len(rec["valid_answers"]))].split()
         ptr = qlen + 2
         qa[ptr:ptr + len(ans)] = [v.word2idx(w) for w in ans]
         qa[ptr + len(ans)] = v.word2idx("<end>")

@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input_dir", type=str, default="data/vqa/hdf5_64")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--arch_type", type=str, default="darts",
-                   choices=["fixed", "darts"])
+                   choices=["fixed", "darts", "derived"])
     p.add_argument("--arch_update_freq", type=int, default=2000)
     p.add_argument("--skip_stage2", action="store_true")
     p.add_argument("--skip_stage3", action="store_true")
@@ -42,14 +42,41 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vgg_weights", type=str, default="",
                    help="path to a torch vgg19 state_dict for pretrained "
                         "encoder init")
+    # experiment family: 'lct' = 3-stage basic_vqa loop; 'darts' = 2-stage
+    # darts_vqa loop; 'unified' = darts_vqa qa-stream variant
+    p.add_argument("--tiny", action="store_true",
+                   help="shrink model dims for debugging/smoke tests")
+    p.add_argument("--package", type=str, default="lct",
+                   choices=["lct", "darts", "unified"])
+    p.add_argument("--qst_only", action="store_true",
+                   help="question-only loss (darts package)")
+    p.add_argument("--genotype", type=str, default="",
+                   help="preset genotype name for --arch_type derived "
+                        "(e.g. PC_DARTS_cifar, DARTS_V2)")
     return p
 
 
 def config_from_args(args) -> Config:
+    genotype = None
+    if getattr(args, "genotype", ""):
+        from lctvqa.models import genotypes
+        genotype = getattr(genotypes, args.genotype)
     model = ModelConfig(arch_type=args.arch_type,
                         pretrained_enc=not args.no_pretrain_enc,
                         img_size=args.img_size,
-                        compute_dtype=args.compute_dtype)
+                        compute_dtype=args.compute_dtype,
+                        genotype=genotype)
+    if args.tiny:
+        model = dataclasses.replace(
+            model, img_embed_size=16, word_embed_size=8,
+            lstm_hidden_size=16, max_qst_len=8, darts_init_ch=4,
+            darts_layers=1, darts_steps=2, darts_multiplier=2,
+            vgg_width_mult=1 / 16, vgg_fc_dim=32)
+    if genotype is not None:
+        # cell shape is dictated by the genotype being retrained
+        model = dataclasses.replace(
+            model, darts_steps=len(genotype.normal) // 2,
+            darts_multiplier=len(genotype.normal_concat))
     train = TrainConfig(
         w_lambda=args.w_lambda, num_epochs=args.num_epochs,
         batch_size=args.batch_size, train_portion=args.train_portion,
@@ -84,8 +111,15 @@ def main(argv=None):
         from lctvqa.models.vgg import load_pretrained
         vgg_params = load_pretrained(args.vgg_weights)
 
-    from lctvqa.train.experiment import Experiment
-    exp = Experiment(cfg, vgg_params=vgg_params)
+    if args.package == "lct":
+        from lctvqa.train.experiment import Experiment
+        exp = Experiment(cfg, vgg_params=vgg_params)
+    elif args.package == "darts":
+        from lctvqa.train.experiment_darts import DartsExperiment
+        exp = DartsExperiment(cfg, qst_only=args.qst_only)
+    else:
+        from lctvqa.train.experiment_darts import DartsExperimentUnified
+        exp = DartsExperimentUnified(cfg)
     exp.run()
 
 

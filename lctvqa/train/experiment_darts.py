@@ -238,7 +238,8 @@ class DartsExperiment:
         for epoch in range(self.current_epoch, self.epochs):
             self.current_epoch = epoch
             if self.arch is not None:
-                self.log(f"genotype: {search.genotype(self.arch)}")
+                self.log(f"genotype: "
+                         f"{search.genotype(self.arch, self.cfg.model.darts_steps, self.cfg.model.darts_multiplier)}")
             self.train_epoch()
             self.val()
             self.save_model()
