@@ -47,6 +47,11 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Use the Pallas fused LSTM cell on TPU (falls back to jnp elsewhere).
     use_pallas_lstm: bool = False
+    # Edge-batched mixed-op execution (models/search_fused.py): same math,
+    # fewer/wider launches. Profiling on v5e showed the DARTS nets are
+    # BN-bandwidth-bound, not launch-bound, and the fused path's stacked
+    # intermediates cost more than the launches they save — default off.
+    fuse_mixed_ops: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

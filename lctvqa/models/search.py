@@ -58,11 +58,11 @@ def _sep_conv_apply(p, x, stride, k, dtype):
     y = C.depthwise_conv2d(p["dw1"], y, stride=stride, padding=pad,
                            dtype=dtype)
     y = C.conv2d(p["pw1"], y, dtype=dtype)
-    y = C.batchnorm(p.get("bn1", {}), y)
+    y = C.batchnorm(p.get("bn1", {}), y, out_dtype=dtype)
     y = jnp.maximum(y, 0.0)
     y = C.depthwise_conv2d(p["dw2"], y, stride=1, padding=pad, dtype=dtype)
     y = C.conv2d(p["pw2"], y, dtype=dtype)
-    return C.batchnorm(p.get("bn2", {}), y)
+    return C.batchnorm(p.get("bn2", {}), y, out_dtype=dtype)
 
 
 def _dil_conv_init(key, ch, k, affine=False):
@@ -82,7 +82,7 @@ def _dil_conv_apply(p, x, stride, k, dtype):
     y = C.depthwise_conv2d(p["dw"], y, stride=stride, padding=pad,
                            dilation=2, dtype=dtype)
     y = C.conv2d(p["pw"], y, dtype=dtype)
-    return C.batchnorm(p.get("bn", {}), y)
+    return C.batchnorm(p.get("bn", {}), y, out_dtype=dtype)
 
 
 def factorized_reduce_init(key, c_in, c_out, affine=False):
@@ -103,7 +103,8 @@ def factorized_reduce_apply(p, x, dtype):
     y = jnp.maximum(x, 0.0)
     a = C.conv2d(p["conv1"], y, stride=2, dtype=dtype)
     b = C.conv2d(p["conv2"], y[:, 1:, 1:, :], stride=2, dtype=dtype)
-    return C.batchnorm(p.get("bn", {}), jnp.concatenate([a, b], axis=-1))
+    return C.batchnorm(p.get("bn", {}), jnp.concatenate([a, b], axis=-1),
+                       out_dtype=dtype)
 
 
 def relu_conv_bn_init(key, c_in, c_out, affine=False):
@@ -116,7 +117,7 @@ def relu_conv_bn_init(key, c_in, c_out, affine=False):
 def relu_conv_bn_apply(p, x, dtype):
     y = jnp.maximum(x, 0.0)
     y = C.conv2d(p["conv"], y, dtype=dtype)
-    return C.batchnorm(p.get("bn", {}), y)
+    return C.batchnorm(p.get("bn", {}), y, out_dtype=dtype)
 
 
 def op_init(key, prim: str, ch: int, stride: int, affine: bool = False):
@@ -136,18 +137,20 @@ def op_init(key, prim: str, ch: int, stride: int, affine: bool = False):
 
 
 def op_apply(p, prim: str, x, stride: int, dtype):
+    acc = jnp.float32 if dtype is None else dtype
     if prim == "none":
         if stride == 1:
-            return 0.0 * x.astype(jnp.float32)
-        return 0.0 * x[:, ::stride, ::stride, :].astype(jnp.float32)
+            return 0.0 * x.astype(acc)
+        return 0.0 * x[:, ::stride, ::stride, :].astype(acc)
     if prim == "avg_pool_3x3":
         return C.batchnorm({}, C.avg_pool(x, 3, stride, 1,
-                                          count_include_pad=False))
+                                          count_include_pad=False),
+                           out_dtype=dtype)
     if prim == "max_pool_3x3":
-        return C.batchnorm({}, C.max_pool(x, 3, stride, 1))
+        return C.batchnorm({}, C.max_pool(x, 3, stride, 1), out_dtype=dtype)
     if prim == "skip_connect":
         if stride == 1:
-            return x.astype(jnp.float32)
+            return x
         return factorized_reduce_apply(p, x, dtype)
     if prim == "sep_conv_3x3":
         return _sep_conv_apply(p, x, stride, 3, dtype)
@@ -190,12 +193,14 @@ def mixed_op_apply(p, x, weights, stride: int, k: int, dtype):
     # XLA fuses this into the op epilogues instead of 8 separate AXPYs.
     outs = jnp.stack([op_apply(p[prim], prim, xtemp, stride, dtype)
                       for prim in PRIMITIVES])
-    temp1 = jnp.einsum("o,onhwc->nhwc", weights.astype(jnp.float32), outs,
-                       preferred_element_type=jnp.float32)
+    acc = jnp.float32 if dtype is None else dtype
+    temp1 = jnp.einsum("o,onhwc->nhwc", weights.astype(outs.dtype), outs,
+                       preferred_element_type=jnp.float32).astype(acc)
     if stride == 1:
-        ans = jnp.concatenate([temp1, xtemp2.astype(jnp.float32)], axis=-1)
+        ans = jnp.concatenate([temp1, xtemp2.astype(acc)], axis=-1)
     else:
-        ans = jnp.concatenate([temp1, C.max_pool(xtemp2, 2, 2)], axis=-1)
+        ans = jnp.concatenate([temp1, C.max_pool(xtemp2, 2, 2).astype(acc)],
+                              axis=-1)
     return channel_shuffle(ans, k)
 
 

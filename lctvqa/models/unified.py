@@ -56,8 +56,13 @@ def init_unified_model(key, cfg: ModelConfig, vgg_params=None):
 def _img_encode(params, arch, cfg: ModelConfig, img, rng, deterministic):
     dt = _dtype(cfg)
     if cfg.arch_type == "darts":
-        feat = search.network_apply(params["darts"], arch, cfg, img,
-                                    dtype=dt)
+        if cfg.fuse_mixed_ops:
+            from lctvqa.models import search_fused
+            feat = search_fused.network_apply_fused(params["darts"], arch,
+                                                    cfg, img, dtype=dt)
+        else:
+            feat = search.network_apply(params["darts"], arch, cfg, img,
+                                        dtype=dt)
     else:
         vgg_params = params["vgg"]
         if cfg.pretrained_enc:

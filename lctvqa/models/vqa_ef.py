@@ -63,8 +63,13 @@ def ef_img_encode(params, arch, cfg: ModelConfig, img,
     """Image -> L2-normalized embed_size feature."""
     dt = _dtype(cfg)
     if cfg.arch_type == "darts":
-        feat = search.network_apply(params["darts"], arch, cfg, img,
-                                    dtype=dt)
+        if cfg.fuse_mixed_ops:
+            from lctvqa.models import search_fused
+            feat = search_fused.network_apply_fused(params["darts"], arch,
+                                                    cfg, img, dtype=dt)
+        else:
+            feat = search.network_apply(params["darts"], arch, cfg, img,
+                                        dtype=dt)
     elif cfg.arch_type == "derived":
         from lctvqa.models import derived
         feat = derived.derived_network_apply(params["derived"], cfg,

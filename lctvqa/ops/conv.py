@@ -70,7 +70,7 @@ def batchnorm_init(c: int, affine: bool = True):
     return {}
 
 
-def batchnorm(params, x, eps: float = 1e-5):
+def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     """Batch-statistics BN over (N, H, W) per channel.
 
     Design decision (SURVEY.md §7 hard-part 3): the reference's BN layers in
@@ -87,6 +87,10 @@ def batchnorm(params, x, eps: float = 1e-5):
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if "scale" in params:
         y = y * params["scale"] + params["bias"]
+    # stats/normalize in fp32; optionally store the activation narrow (the
+    # DARTS nets are HBM-bandwidth-bound on BN traffic — see DESIGN.md)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
     return y
 
 
