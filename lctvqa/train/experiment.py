@@ -45,6 +45,8 @@ class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = True,
                  vgg_params=None):
         self.cfg = cfg
+        from lctvqa import compile_cache
+        compile_cache.enable()
         self.name = cfg.exp_name
         self.exp_dir = os.path.join(cfg.root_stats_dir, self.name)
 

@@ -184,6 +184,8 @@ class DartsExperiment:
 
     def __init__(self, cfg: Config, qst_only: bool = False):
         self.cfg = cfg
+        from lctvqa import compile_cache
+        compile_cache.enable()
         self.qst_only = qst_only
         self.exp_dir = os.path.join(cfg.root_stats_dir, cfg.exp_name)
         os.makedirs(self.exp_dir, exist_ok=True)
