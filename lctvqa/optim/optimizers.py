@@ -46,8 +46,15 @@ def step_lr(base_lr: float, epoch: int, step_size: int, gamma: float) -> float:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning_rate in a model_optimizer state."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Update the injected learning_rate in a model_optimizer state,
+    preserving the existing array's sharding (a sharding change would
+    force the jitted train step to recompile)."""
+    old = opt_state.hyperparams["learning_rate"]
+    new = jnp.asarray(lr, jnp.float32)
+    sharding = getattr(old, "sharding", None)
+    if sharding is not None:
+        new = jax.device_put(new, sharding)
+    opt_state.hyperparams["learning_rate"] = new
     return opt_state
 
 

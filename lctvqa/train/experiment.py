@@ -81,6 +81,19 @@ class Experiment:
         self.w_opt = self.steps["w_tx"].init(self.w_params)
         self.arch_opt = (self.steps["arch_tx"].init(self.arch)
                          if self.arch is not None else None)
+        if self.mesh is not None:
+            # pin replicated shardings NOW: jit outputs carry mesh shardings,
+            # so unsharded inputs on the first call would force one
+            # recompile per step function on the second call
+            rep = mesh_lib.replicated(self.mesh)
+            put = lambda t: jax.device_put(t, rep)
+            self.ef_params = put(self.ef_params)
+            self.w_params = put(self.w_params)
+            self.ef_opt = put(self.ef_opt)
+            self.w_opt = put(self.w_opt)
+            if self.arch is not None:
+                self.arch = put(self.arch)
+                self.arch_opt = put(self.arch_opt)
 
         self.epochs = cfg.train.num_epochs
         self.current_epoch = 0
@@ -188,8 +201,11 @@ class Experiment:
         # (experiment.py:189) — same value either way here.
         ef_lr = w_lr = lr
 
-        ef_loss = w_loss = 0.0
-        ef_corr1 = ef_corr2 = w_corr = 0
+        # loss/metric scalars stay ON DEVICE during the epoch; host readback
+        # happens only at report steps and once at epoch end (each readback
+        # is a full RPC roundtrip on tunneled TPU setups)
+        ef_losses, w_losses = [], []
+        ef_c1s, ef_c2s, w_corrs = [], [], []
         valid_iter = cycle(pipeline.epoch_batches(
             self.data["valid"], t.batch_size, self.np_rng))
         do_stage3 = (self.arch is not None and not t.skip_stage3)
@@ -214,10 +230,9 @@ class Experiment:
                 self.ef_params, self.ef_opt, loss, c1, c2 = self.steps[
                     "stage1"](self.ef_params, self.arch, self.ef_opt,
                               batch, self._next_rng())
-                loss = float(loss)
-            ef_loss += loss
-            ef_corr1 += int(c1)
-            ef_corr2 += int(c2)
+            ef_losses.append(loss)
+            ef_c1s.append(c1)
+            ef_c2s.append(c2)
             if batch_idx % t.report_freq == 0:
                 self.log(
                     f"| TRAIN SET | STAGE1 | Epoch "
@@ -226,18 +241,24 @@ class Experiment:
                     f"EF-Loss: {float(loss):.4f}")
 
             if not t.skip_stage2:
-                self.w_params, self.w_opt, loss2, wc = self.steps["stage2"](
-                    self.w_params, self.w_opt, self.ef_params, self.arch,
-                    batch, self._next_rng())
-                w_loss += float(loss2)
-                w_corr += int(wc)
+                with self.timer.stage("stage2"):
+                    self.w_params, self.w_opt, loss2, wc = self.steps[
+                        "stage2"](self.w_params, self.w_opt,
+                                  self.ef_params, self.arch, batch,
+                                  self._next_rng())
+                w_losses.append(loss2)
+                w_corrs.append(wc)
                 if batch_idx % t.report_freq == 0:
                     self.log(
                         f"| TRAIN SET | STAGE2 | Epoch "
                         f"[{self.current_epoch + 1:02d}/{self.epochs:02d}],"
                         f" Step [{batch_idx:04d}/{batch_step_size:04d}], "
-                        f"W-Loss: {loss2:.4f}")
+                        f"W-Loss: {float(loss2):.4f}")
 
+        ef_loss = float(jnp.sum(jnp.stack(ef_losses)))
+        ef_corr2 = int(jnp.sum(jnp.stack(ef_c2s)))
+        w_loss = (float(jnp.sum(jnp.stack(w_losses))) if w_losses else 0.0)
+        w_corr = (int(jnp.sum(jnp.stack(w_corrs))) if w_corrs else 0)
         self.train_ef_loss.append(ef_loss / batch_step_size)
         self.train_ef_acc.append(ef_corr2 / n)
         self.train_w_loss.append(w_loss / batch_step_size)
