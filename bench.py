@@ -161,12 +161,85 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
     return BATCH * iters / dt
 
 
+def train_pairs_per_sec(iters: int = 30) -> dict:
+    """Secondary metrics: full LCT training step (stage1+stage2) and the
+    30-step generate loop, at reference dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from lctvqa.config import Config, ModelConfig, TrainConfig
+    from lctvqa.models import vqa_ef, vqa_w
+    from lctvqa.train.steps import make_lct_steps
+
+    cfg = Config(model=ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                                   ans_vocab_size=AVOCAB,
+                                   arch_type="darts",
+                                   compute_dtype="bfloat16"),
+                 train=TrainConfig(batch_size=BATCH))
+    key = jax.random.PRNGKey(0)
+    ef_params, arch = vqa_ef.init_ef_model(key, cfg.model)
+    w_params = vqa_w.init_w_model(jax.random.PRNGKey(1), cfg.model)
+    steps = make_lct_steps(cfg, unk_idx=1)
+    ef_opt = steps["ef_tx"].init(ef_params)
+    w_opt = steps["w_tx"].init(w_params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image_u8": jax.device_put(rng.randint(
+            0, 256, (BATCH, IMG, IMG, 3), dtype=np.uint8)),
+        "question": jax.device_put(rng.randint(
+            0, QVOCAB, (BATCH, 25)).astype(np.int32)),
+        "answer_label": jax.device_put(rng.randint(
+            0, AVOCAB, (BATCH,)).astype(np.int32)),
+        "answer_multi_choice": jax.device_put(rng.randint(
+            -1, AVOCAB, (BATCH, 10)).astype(np.int32)),
+    }
+    # warm
+    ef_params, ef_opt, loss, _, _ = steps["stage1"](ef_params, arch,
+                                                    ef_opt, batch, key)
+    w_params, w_opt, loss2, _ = steps["stage2"](w_params, w_opt, ef_params,
+                                                arch, batch, key)
+    float(loss2)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ef_params, ef_opt, loss, _, _ = steps["stage1"](
+            ef_params, arch, ef_opt, batch, key)
+        w_params, w_opt, loss2, _ = steps["stage2"](
+            w_params, w_opt, ef_params, arch, batch, key)
+    float(loss2)
+    dt = time.perf_counter() - t0
+    train_pps = BATCH * iters / dt
+
+    gen = jax.jit(lambda p, a, u8: vqa_ef.ef_generate(
+        p, a, cfg.model,
+        (u8.astype(jnp.float32) / 255.0 - 0.45) / 0.225,
+        rng=jax.random.PRNGKey(2), deterministic=True))
+    q, _ = gen(ef_params, arch, batch["image_u8"])
+    int(np.asarray(jax.device_get(q))[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        q, _ = gen(ef_params, arch, batch["image_u8"])
+    int(np.asarray(jax.device_get(q))[0, 0])
+    dt = time.perf_counter() - t0
+    gen_tokens = BATCH * QLEN * iters / dt
+    return {"lct_train_pairs_per_sec": round(train_pps, 2),
+            "generate_tokens_per_sec": round(gen_tokens, 2)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--details", action="store_true",
+                   help="also measure training/generate throughput into "
+                        "bench_details.json")
     args = p.parse_args()
     baseline = _get_baseline()
     value = tpu_pairs_per_sec(args.iters)
+    if args.details:
+        details = train_pairs_per_sec()
+        details["inference_pairs_per_sec"] = round(value, 2)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_details.json"), "w") as f:
+            json.dump(details, f)
     print(json.dumps({
         "metric": "vqa_pairs_per_sec_per_chip",
         "value": round(value, 2),

@@ -97,8 +97,17 @@ def _fused_cell_bwd(interpret, res, grads):
 _fused_cell.defvjp(_fused_cell_fwd, _fused_cell_bwd)
 
 
-def lstm_cell_pallas(layer_params, x, h, c, dtype=None):
-    """Drop-in replacement for ops.lstm.lstm_cell using the fused kernel."""
+def lstm_cell_pallas(layer_params, x, h, c, dtype=None,
+                     force_interpret: bool = False):
+    """Drop-in replacement for ops.lstm.lstm_cell using the fused kernel.
+
+    Off-TPU the kernel would only run in (slow) interpret mode, so we fall
+    back to the jnp cell there — numerics match to fp32 tolerance (tested).
+    Tests pass force_interpret=True to exercise the kernel itself on CPU.
+    """
+    if jax.default_backend() != "tpu" and not force_interpret:
+        from lctvqa.ops.lstm import lstm_cell
+        return lstm_cell(layer_params, x, h, c, dtype=dtype)
     w_ih, w_hh = layer_params["w_ih"], layer_params["w_hh"]
     b = layer_params["b_ih"] + layer_params["b_hh"]
     if dtype is not None:

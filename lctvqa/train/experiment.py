@@ -294,13 +294,18 @@ class Experiment:
 
     # ------------------------------------------------------------------
     def val(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         t = self.cfg.train
         dataset = self.data["valid"]
         n = (len(dataset) // t.batch_size) * t.batch_size
         batch_step_size = max(len(dataset) // t.batch_size, 1)
         running_loss = 0.0
         corr1 = corr2 = 0
-        total_b4 = 0.0
+        # BLEU (nltk, host-side) runs on a worker thread so it stays off
+        # the device dispatch path (SURVEY.md §7 hard-part 7)
+        bleu_pool = ThreadPoolExecutor(max_workers=1)
+        bleu_futures = []
         for batch_idx, batch in enumerate(self._batches("valid",
                                                         shuffle=False)):
             loss, c1, c2, gen_qst, _ = self.steps["eval"](
@@ -309,15 +314,17 @@ class Experiment:
             corr1 += int(c1)
             corr2 += int(c2)
             names = dataset.image_names(np.asarray(batch["index"]))
-            b4 = calc_bleu_scores(names, np.asarray(gen_qst),
-                                  self.qst_vocab, self.vqa_struct)
-            total_b4 += b4
+            bleu_futures.append(bleu_pool.submit(
+                lambda nm, gq: calc_bleu_scores(
+                    nm, np.asarray(gq), self.qst_vocab, self.vqa_struct),
+                names, gen_qst))
             if batch_idx % 100 == 0:
                 self.log(
                     f"| VALID SET | Epoch [{self.current_epoch + 1:02d}/"
                     f"{self.epochs:02d}], Step [{batch_idx:04d}/"
-                    f"{batch_step_size:04d}], Loss: {float(loss):.4f} "
-                    f"BLEU4: {b4:.4f}")
+                    f"{batch_step_size:04d}], Loss: {float(loss):.4f}")
+        total_b4 = sum(f.result() for f in bleu_futures)
+        bleu_pool.shutdown()
         self.val_ef_loss.append(running_loss / batch_step_size)
         self.val_ef_acc.append(corr2 / max(n, 1))
         self.log(

@@ -6,7 +6,11 @@ import jax
 import jax.numpy as jnp
 
 from lctvqa.ops.lstm import lstm_cell, lstm_init
-from lctvqa.ops.pallas_lstm import lstm_cell_pallas
+import functools
+
+from lctvqa.ops.pallas_lstm import lstm_cell_pallas as _lcp
+
+lstm_cell_pallas = functools.partial(_lcp, force_interpret=True)
 
 
 def _setup(b=8, in_sz=16, hid=32, seed=0):
