@@ -70,6 +70,15 @@ def batchnorm_init(c: int, affine: bool = True):
     return {}
 
 
+# Route eligible affine-free BNs through the single-pass Pallas kernel
+# (ops/pallas_bn.py). Default OFF: although the kernel wins in isolation on
+# mid shapes, inside the full network the lane-repacking reshape is a real
+# relayout copy on TPU tiled layouts and the custom-call breaks XLA fusion
+# with neighbors — measured net slower (NOTES.md). Kept for future use with
+# a layout-preserving variant.
+USE_PALLAS_BN = False
+
+
 def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     """Batch-statistics BN over (N, H, W) per channel.
 
@@ -81,6 +90,17 @@ def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     batch makes XLA insert the cross-replica reduction, i.e. sync-BN for
     free.
     """
+    if (USE_PALLAS_BN and not params and x.ndim == 4
+            and eps == 1e-5):
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            from lctvqa.ops.pallas_bn import batchnorm_pallas
+            return batchnorm_pallas(x, out_dtype=out_dtype)
+    return batchnorm_xla(params, x, eps, out_dtype)
+
+
+def batchnorm_xla(params, x, eps: float = 1e-5, out_dtype=None):
+    """The plain two-pass XLA implementation (also the Pallas fallback)."""
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(0, 1, 2))
     var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)

@@ -88,3 +88,37 @@ def test_fused_cell_in_model_forward():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(qlog_pal), np.asarray(qlog_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bn_matches_reference():
+    from lctvqa.ops.conv import batchnorm
+    from lctvqa.ops.pallas_bn import batchnorm_pallas
+    x = jax.random.normal(jax.random.PRNGKey(11), (4, 6, 6, 5)) * 3 + 1
+    ref = batchnorm({}, x)
+    pal = batchnorm_pallas(x, force_interpret=True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bn_gradient_matches():
+    from lctvqa.ops.conv import batchnorm
+    from lctvqa.ops.pallas_bn import batchnorm_pallas
+    x = jax.random.normal(jax.random.PRNGKey(12), (3, 4, 4, 6)) * 2
+
+    def loss_ref(x):
+        return jnp.sum(jnp.tanh(batchnorm({}, x)))
+
+    def loss_pal(x):
+        return jnp.sum(jnp.tanh(batchnorm_pallas(x, force_interpret=True)))
+
+    g_ref = jax.grad(loss_ref)(x)
+    g_pal = jax.grad(loss_pal)(x)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_bn_bf16_out():
+    from lctvqa.ops.pallas_bn import batchnorm_pallas
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 4, 4, 8))
+    y = batchnorm_pallas(x, out_dtype=jnp.bfloat16, force_interpret=True)
+    assert y.dtype == jnp.bfloat16
