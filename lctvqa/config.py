@@ -10,7 +10,7 @@ reference (`basic_vqa/config.py`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,13 +15,12 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lctvqa.config import DataConfig
 from lctvqa.text import VocabDict
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)

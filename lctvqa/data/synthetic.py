@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

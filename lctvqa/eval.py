@@ -34,7 +34,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from lctvqa.config import Config, DataConfig, ModelConfig, TrainConfig
+    from lctvqa.config import ModelConfig
     from lctvqa.data import pipeline
     from lctvqa.models import search, vqa_ef
     from lctvqa.text import VocabDict

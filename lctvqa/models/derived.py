@@ -12,8 +12,6 @@ affine BNs, node states summed, `concat` nodes concatenated.
 
 from __future__ import annotations
 
-from typing import List
-
 import jax
 import jax.numpy as jnp
 

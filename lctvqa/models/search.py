@@ -18,8 +18,7 @@ a quirk flagged in SURVEY.md §2.3), output dims are derived from the config.
 
 from __future__ import annotations
 
-import math
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -183,9 +182,15 @@ def mixed_op_init(key, ch: int, stride: int, k: int):
             for prim, kk in zip(PRIMITIVES, keys)}
 
 
-def mixed_op_apply(p, x, weights, stride: int, k: int, dtype):
+def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
+                   shuffle: bool = True):
     """ops on the first C/k channels, weighted-summed; untouched 3/4
-    concatenated (maxpool2x2'd if reduction); channel shuffle."""
+    concatenated (maxpool2x2'd if reduction); channel shuffle.
+
+    shuffle=False defers the (shared) permutation to the caller: the cell
+    sums beta-weighted edge outputs first and shuffles ONCE per node —
+    exact because channel_shuffle is linear (saves E-1 relayout copies
+    per node)."""
     c = x.shape[-1]
     xtemp = x[..., : c // k]
     xtemp2 = x[..., c // k:]
@@ -201,7 +206,7 @@ def mixed_op_apply(p, x, weights, stride: int, k: int, dtype):
     else:
         ans = jnp.concatenate([temp1, C.max_pool(xtemp2, 2, 2).astype(acc)],
                               axis=-1)
-    return channel_shuffle(ans, k)
+    return channel_shuffle(ans, k) if shuffle else ans
 
 
 # --------------------------------------------------------------------------
@@ -245,10 +250,12 @@ def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
         for j, h in enumerate(states):
             stride = 2 if reduction and j < 2 else 1
             y = betas[offset + j] * mixed_op_apply(
-                p["ops"][offset + j], h, alphas[offset + j], stride, k, dtype)
+                p["ops"][offset + j], h, alphas[offset + j], stride, k,
+                dtype, shuffle=False)
             s = y if s is None else s + y
         offset += len(states)
-        states.append(s)
+        # one shuffle per node instead of per edge (see mixed_op_apply)
+        states.append(channel_shuffle(s, k))
     return jnp.concatenate(states[-multiplier:], axis=-1)
 
 

@@ -6,7 +6,7 @@ next-token cross entropy only — no separate answer head.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ explicit compute dtype (bf16 on TPU) and accumulate in fp32.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ import os
 import sys
 import time
 from itertools import cycle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ import logging
 import os
 import sys
 from itertools import cycle
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 
 def read_file_in_dir(root_dir: str, file_name: str):

@@ -10,9 +10,6 @@ ids cross back to the host.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
