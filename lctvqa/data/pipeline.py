@@ -75,11 +75,14 @@ class VqaH5Dataset:
 
     def gather(self, idx: np.ndarray, rng: np.random.Generator,
                max_num_ans: int = 10,
-               use_native: bool = True) -> Dict[str, np.ndarray]:
+               use_native: bool = True,
+               num_workers: int = 1) -> Dict[str, np.ndarray]:
         """Vectorized batch assembly for question indices `idx`.
 
         Uses the C++ core (lctvqa.native) when built: fused row gather +
         answer sampling + multi-choice packing without numpy temporaries.
+        `num_workers` parallelizes the image row copy (the reference's
+        DataLoader num_workers knob, basic_vqa/config.py:32).
         """
         if use_native:
             from lctvqa import native
@@ -91,7 +94,8 @@ class VqaH5Dataset:
                     enc_ans, self.ans_vocab.unk2idx, seed, max_num_ans)
                 return {
                     "image_u8": native.gather_rows(self.images,
-                                                   self.img_row[idx]),
+                                                   self.img_row[idx],
+                                                   num_threads=num_workers),
                     "question": self.enc_qst[idx],
                     "qst_len": self.qst_len[idx],
                     "answer_label": labels,
@@ -130,14 +134,23 @@ class VqaH5Dataset:
 def epoch_batches(dataset: VqaH5Dataset, batch_size: int,
                   rng: np.random.Generator, shuffle: bool = True,
                   drop_remainder: bool = True,
-                  max_num_ans: int = 10) -> Iterator[dict]:
+                  max_num_ans: int = 10,
+                  num_workers: int = 1) -> Iterator[dict]:
     idx = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(idx)
     n_full = len(idx) // batch_size
     end = n_full * batch_size if drop_remainder else len(idx)
     for s in range(0, end, batch_size):
-        yield dataset.gather(idx[s:s + batch_size], rng, max_num_ans)
+        yield dataset.gather(idx[s:s + batch_size], rng, max_num_ans,
+                             num_workers=num_workers)
+
+
+class _WorkerError:
+    """Carrier for an exception raised in the prefetch thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class Prefetcher:
@@ -164,8 +177,12 @@ class Prefetcher:
                     if k in out:
                         out[k] = jax.device_put(out[k], self._sharding)
                 self._q.put(out)
-        finally:
-            self._q.put(None)
+        except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
+            # A swallowed worker error would silently truncate the epoch;
+            # hand the exception to the consuming thread instead.
+            self._q.put(_WorkerError(exc))
+            return
+        self._q.put(None)
 
     def __iter__(self):
         return self
@@ -174,6 +191,8 @@ class Prefetcher:
         item = self._q.get()
         if item is None:
             raise StopIteration
+        if isinstance(item, _WorkerError):
+            raise item.exc
         return item
 
 

@@ -46,7 +46,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.lct_gather_rows.restype = None
     lib.lct_gather_rows.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8)]
+        ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int]
     _lib = lib
     return lib
 
@@ -89,8 +90,11 @@ def sample_answers(enc_ans: np.ndarray, unk_idx: int, seed: int,
     return labels, mc
 
 
-def gather_rows(src: np.ndarray, rows: np.ndarray) -> Optional[np.ndarray]:
-    """dst[i] = src[rows[i]] for uint8 arrays with any trailing shape."""
+def gather_rows(src: np.ndarray, rows: np.ndarray,
+                num_threads: int = 1) -> Optional[np.ndarray]:
+    """dst[i] = src[rows[i]] for uint8 arrays with any trailing shape.
+    `num_threads` > 1 splits the copy across C++ threads (the reference's
+    DataLoader num_workers analogue)."""
     lib = _load()
     if lib is None:
         return None
@@ -102,5 +106,6 @@ def gather_rows(src: np.ndarray, rows: np.ndarray) -> Optional[np.ndarray]:
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(rows), ctypes.c_longlong(item_bytes),
-        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(num_threads))
     return dst

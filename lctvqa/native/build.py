@@ -11,7 +11,8 @@ def build(verbose: bool = True) -> str:
     here = os.path.dirname(os.path.abspath(__file__))
     src = os.path.join(here, "src", "native.cpp")
     out = os.path.join(here, "liblctvqa_native.so")
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", out, src]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           "-o", out, src]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)

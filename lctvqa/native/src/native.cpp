@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -106,14 +108,36 @@ void lct_sample_answers(const uint8_t* enc_ans, int b, int a, int unk_idx,
     }
 }
 
-// dst[i] = src[rows[i]] ; item_bytes bytes per row.
+// dst[i] = src[rows[i]] ; item_bytes bytes per row. The copy is pure
+// memory bandwidth, so it parallelizes linearly until DRAM saturates;
+// num_threads maps the reference's DataLoader `num_workers` knob
+// (basic_vqa/config.py:32) onto this gather.
 void lct_gather_rows(const uint8_t* src, const int32_t* rows, int b,
-                     long long item_bytes, uint8_t* dst) {
-    for (int i = 0; i < b; ++i) {
-        std::memcpy(dst + static_cast<int64_t>(i) * item_bytes,
-                    src + static_cast<int64_t>(rows[i]) * item_bytes,
-                    static_cast<size_t>(item_bytes));
+                     long long item_bytes, uint8_t* dst, int num_threads) {
+    auto copy_range = [=](int lo, int hi) {
+        for (int i = lo; i < hi; ++i) {
+            std::memcpy(dst + static_cast<int64_t>(i) * item_bytes,
+                        src + static_cast<int64_t>(rows[i]) * item_bytes,
+                        static_cast<size_t>(item_bytes));
+        }
+    };
+    // thread spawn (~10us each) only pays off on big copies
+    const long long total = static_cast<long long>(b) * item_bytes;
+    if (num_threads <= 1 || b < 2 || total < (1 << 20)) {
+        copy_range(0, b);
+        return;
     }
+    int t = num_threads < b ? num_threads : b;
+    std::vector<std::thread> threads;
+    threads.reserve(t);
+    int per = (b + t - 1) / t;
+    for (int k = 0; k < t; ++k) {
+        int lo = k * per;
+        int hi = lo + per < b ? lo + per : b;
+        if (lo >= hi) break;
+        threads.emplace_back(copy_range, lo, hi);
+    }
+    for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -161,7 +161,8 @@ class Experiment:
         it = pipeline.epoch_batches(self.data[split],
                                     self.cfg.train.batch_size,
                                     self.np_rng, shuffle=shuffle,
-                                    max_num_ans=self.cfg.data.max_num_ans)
+                                    max_num_ans=self.cfg.data.max_num_ans,
+                                    num_workers=self.cfg.data.num_workers)
         return pipeline.Prefetcher(
             it, sharding=self.batch_sharding,
             depth=self.cfg.data.prefetch,

@@ -61,6 +61,16 @@ def test_gather_rows():
     np.testing.assert_array_equal(out, src[rows])
 
 
+def test_gather_rows_threaded():
+    """Large enough (> 1MB) to take the std::thread fan-out path."""
+    src = np.random.RandomState(2).randint(
+        0, 256, (32, 128, 128, 3), dtype=np.uint8)
+    rows = np.random.RandomState(3).randint(0, 32, 24).astype(np.int32)
+    for t in (2, 4, 8):
+        out = native.gather_rows(src, rows, num_threads=t)
+        np.testing.assert_array_equal(out, src[rows])
+
+
 def test_pipeline_native_path(synth_dir):
     from lctvqa.data.pipeline import VqaH5Dataset
     ds = VqaH5Dataset(synth_dir, "train")
