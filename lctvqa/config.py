@@ -54,6 +54,11 @@ class ModelConfig:
     # BN-bandwidth-bound, not launch-bound, and the fused path's stacked
     # intermediates cost more than the launches they save — default off.
     fuse_mixed_ops: bool = False
+    # Track BN running statistics during stage-1 training and use them in
+    # validation, reproducing the reference's model.eval() numerics
+    # (basic_vqa/experiment.py:292-293). Default off: batch stats at eval
+    # (the standard DARTS choice — see ops/conv.py batchnorm docstring).
+    bn_eval_stats: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,7 +28,7 @@ class VqaNpyDataset:
 
     def __init__(self, input_dir: str, input_vqa: str,
                  max_qst_length: int = 30, max_num_ans: int = 10,
-                 img_size: int = 64):
+                 img_size: int = 64, train_portion: float = 1.0):
         self.input_dir = input_dir
         self.vqa = np.load(os.path.join(input_dir, input_vqa),
                            allow_pickle=True)
@@ -43,9 +43,14 @@ class VqaNpyDataset:
                          and self.vqa[0]["valid_answers"] is not None)
         self._h5_images = None  # lazy h5 fallback
         self._h5_ids = None
+        # Subset(train_portion) equivalent (basic_vqa/data_loader.py:87-93)
+        self.num_qst = int(np.floor(train_portion * len(self.vqa)))
 
     def __len__(self):
-        return len(self.vqa)
+        return self.num_qst
+
+    def image_names(self, idx: np.ndarray):
+        return [self.vqa[int(i)]["image_name"] for i in idx]
 
     # ---------------- images ----------------
     def _load_h5(self):
@@ -128,9 +133,9 @@ class VqaNpyDatasetUnified(VqaNpyDataset):
 
     def __init__(self, input_dir: str, input_vqa: str,
                  max_qst_length: int = 30, max_num_ans: int = 10,
-                 img_size: int = 64):
+                 img_size: int = 64, train_portion: float = 1.0):
         super().__init__(input_dir, input_vqa, max_qst_length, max_num_ans,
-                         img_size)
+                         img_size, train_portion)
         self.unified_vocab = VocabDict(
             os.path.join(input_dir, "vocab_unified.txt"))
 
@@ -159,11 +164,12 @@ class VqaNpyDatasetUnified(VqaNpyDataset):
 
 def get_npy_loader(input_dir: str, max_qst_length: int = 30,
                    max_num_ans: int = 10, img_size: int = 64,
-                   unified: bool = False) -> Dict[str, VqaNpyDataset]:
+                   unified: bool = False,
+                   train_portion: float = 1.0) -> Dict[str, VqaNpyDataset]:
     cls = VqaNpyDatasetUnified if unified else VqaNpyDataset
     return {
         "train": cls(input_dir, "train.npy", max_qst_length, max_num_ans,
-                     img_size),
+                     img_size, train_portion),
         "valid": cls(input_dir, "valid.npy", max_qst_length, max_num_ans,
                      img_size),
     }

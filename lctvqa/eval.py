@@ -9,7 +9,6 @@ questions for a few images.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 
 import numpy as np
@@ -27,8 +26,6 @@ def main(argv=None):
     p.add_argument("--arch_type", type=str, default="darts")
     p.add_argument("--img_size", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
-    p.add_argument("--tiny", action="store_true",
-                   help="tiny model dims (must match the checkpoint)")
     args = p.parse_args(argv)
 
     import jax
@@ -44,21 +41,21 @@ def main(argv=None):
 
     qv = VocabDict(os.path.join(args.input_dir, "vocab_questions.txt"))
     av = VocabDict(os.path.join(args.input_dir, "vocab_answers.txt"))
-    mcfg = ModelConfig(arch_type=args.arch_type, img_size=args.img_size,
-                       qst_vocab_size=qv.vocab_size,
-                       ans_vocab_size=av.vocab_size,
-                       compute_dtype=args.compute_dtype)
-    if args.tiny:
-        mcfg = dataclasses.replace(
-            mcfg, img_embed_size=16, word_embed_size=8,
-            lstm_hidden_size=16, max_qst_len=8, darts_init_ch=4,
-            darts_layers=1, darts_steps=2, darts_multiplier=2,
-            vgg_width_mult=1 / 16, vgg_fc_dim=32,
-            compute_dtype="float32")
 
     exp_dir = os.path.join(args.root_stats_dir, args.exp)
     state = checkpoint.load_state(os.path.join(exp_dir, "ef_model.ckpt"))
     ef_params, arch = state["ef_params"], state["arch"]
+    if state.get("config") is not None:
+        # checkpoints are self-describing: rebuild the exact model config
+        mcfg = state["config"].model
+        version = state.get("lctvqa_version", "?")
+        print(f"model config from checkpoint (lctvqa {version})")
+    else:
+        # legacy artifact without an embedded config: flags must match
+        mcfg = ModelConfig(arch_type=args.arch_type, img_size=args.img_size,
+                           qst_vocab_size=qv.vocab_size,
+                           ans_vocab_size=av.vocab_size,
+                           compute_dtype=args.compute_dtype)
     print(f"loaded epoch {state['epoch']} from {exp_dir}")
     if arch is not None:
         print("genotype:", search.genotype(arch, mcfg.darts_steps,

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip_stage2", action="store_true")
     p.add_argument("--skip_stage3", action="store_true")
     p.add_argument("--no_pretrain_enc", action="store_true")
+    p.add_argument("--use_old_dataloader", action="store_true",
+                   help="v1 npy-record loader instead of the hdf5 loader "
+                        "(basic_vqa/data_factory.py:5-23)")
     p.add_argument("--img_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=10)
     # TPU-native extras
@@ -85,7 +88,8 @@ def config_from_args(args) -> Config:
         seed=args.seed, architect_mode=args.architect_mode,
         report_freq=10 if args.arch_type == "darts" else 100)
     data = DataConfig(input_dir=args.input_dir,
-                      num_workers=args.num_workers)
+                      num_workers=args.num_workers,
+                      use_old_dataloader=args.use_old_dataloader)
     mesh = MeshConfig(num_devices=args.num_devices)
     return Config(model=model, train=train, data=data, mesh=mesh,
                   exp_name=args.exp, resume=args.resume)

@@ -17,8 +17,7 @@ import jax.numpy as jnp
 
 from lctvqa.config import ModelConfig
 from lctvqa.models.genotypes import Genotype
-from lctvqa.models.search import (OUTPUT_SIZE, cell_schedule,
-                                  factorized_reduce_apply,
+from lctvqa.models.search import (OUTPUT_SIZE, factorized_reduce_apply,
                                   factorized_reduce_init, op_apply, op_init,
                                   relu_conv_bn_apply, relu_conv_bn_init)
 from lctvqa.ops import conv as C
@@ -31,8 +30,32 @@ def _gene(genotype: Genotype, reduction: bool):
     return list(gene), list(concat)
 
 
+def derived_cell_schedule(cfg: ModelConfig, genotype: Genotype):
+    """Per-cell channel/reduction plan like search.cell_schedule, but the
+    concat width (number of concatenated node states -> output channel
+    multiplier) comes from the GENOTYPE per cell type, not from
+    cfg.darts_multiplier. That makes non-uniform presets (NASNet/AmoebaNet:
+    5 nodes, different normal/reduce concat widths) retrainable; for
+    uniform genotypes this reduces exactly to search.cell_schedule."""
+    c_curr = cfg.darts_stem_multiplier * cfg.darts_init_ch
+    c_pp, c_p = c_curr, c_curr
+    c_curr = cfg.darts_init_ch
+    sched = []
+    reduction_prev = False
+    for i in range(cfg.darts_layers):
+        reduction = i in (cfg.darts_layers // 3, 2 * cfg.darts_layers // 3)
+        if reduction:
+            c_curr *= 2
+        _, concat = _gene(genotype, reduction)
+        sched.append(dict(c_pp=c_pp, c_p=c_p, c=c_curr, reduction=reduction,
+                          reduction_prev=reduction_prev))
+        reduction_prev = reduction
+        c_pp, c_p = c_p, len(concat) * c_curr
+    return sched
+
+
 def derived_out_features(cfg: ModelConfig, genotype: Genotype) -> int:
-    sched = cell_schedule(cfg)
+    sched = derived_cell_schedule(cfg, genotype)
     _, concat = _gene(genotype, sched[-1]["reduction"])
     return len(concat) * sched[-1]["c"] * OUTPUT_SIZE * OUTPUT_SIZE
 
@@ -87,13 +110,7 @@ def derived_network_init(key, cfg: ModelConfig, genotype: Genotype):
         "stem_bn": C.batchnorm_init(c_stem, affine=True),
         "cells": [],
     }
-    # the channel plan assumes each cell concats `darts_multiplier` nodes
-    for red in (False, True):
-        _, concat = _gene(genotype, red)
-        assert len(concat) == cfg.darts_multiplier, (
-            f"genotype concat width {len(concat)} != darts_multiplier "
-            f"{cfg.darts_multiplier}")
-    for spec in cell_schedule(cfg):
+    for spec in derived_cell_schedule(cfg, genotype):
         key, kk = jax.random.split(key)
         p["cells"].append(derived_cell_init(
             kk, genotype, spec["c_pp"], spec["c_p"], spec["c"],
@@ -105,7 +122,7 @@ def derived_network_apply(p, cfg: ModelConfig, genotype: Genotype, x,
                           dtype=None):
     s = C.conv2d(p["stem_conv"], x, stride=1, padding=1, dtype=dtype)
     s0 = s1 = C.batchnorm(p["stem_bn"], s)
-    for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
+    for cell_p, spec in zip(p["cells"], derived_cell_schedule(cfg, genotype)):
         s0, s1 = s1, derived_cell_apply(
             cell_p, s0, s1, genotype, spec["reduction"],
             spec["reduction_prev"], dtype)

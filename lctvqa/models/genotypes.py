@@ -30,6 +30,37 @@ PRIMITIVES = (
 
 NONE_IDX = PRIMITIVES.index("none")
 
+# NASNet-A / AmoebaNet-B cells (published constants from the NASNet and
+# AmoebaNet papers, shipped by the reference at pcdarts/genotypes.py:16-72).
+# Both are NON-uniform: 5 nodes per cell and different concat widths for
+# normal vs reduce — the derived network handles that via its
+# genotype-aware channel schedule (models/derived.py).
+NASNet = Genotype(
+    normal=[("sep_conv_5x5", 1), ("sep_conv_3x3", 0), ("sep_conv_5x5", 0),
+            ("sep_conv_3x3", 0), ("avg_pool_3x3", 1), ("skip_connect", 0),
+            ("avg_pool_3x3", 0), ("avg_pool_3x3", 0), ("sep_conv_3x3", 1),
+            ("skip_connect", 1)],
+    normal_concat=[2, 3, 4, 5, 6],
+    reduce=[("sep_conv_5x5", 1), ("sep_conv_7x7", 0), ("max_pool_3x3", 1),
+            ("sep_conv_7x7", 0), ("avg_pool_3x3", 1), ("sep_conv_5x5", 0),
+            ("skip_connect", 3), ("avg_pool_3x3", 2), ("sep_conv_3x3", 2),
+            ("max_pool_3x3", 1)],
+    reduce_concat=[4, 5, 6],
+)
+
+AmoebaNet = Genotype(
+    normal=[("avg_pool_3x3", 0), ("max_pool_3x3", 1), ("sep_conv_3x3", 0),
+            ("sep_conv_5x5", 2), ("sep_conv_3x3", 0), ("avg_pool_3x3", 3),
+            ("sep_conv_3x3", 1), ("skip_connect", 1), ("skip_connect", 0),
+            ("avg_pool_3x3", 1)],
+    normal_concat=[4, 5, 6],
+    reduce=[("avg_pool_3x3", 0), ("sep_conv_3x3", 1), ("max_pool_3x3", 0),
+            ("sep_conv_7x7", 2), ("sep_conv_7x7", 0), ("avg_pool_3x3", 1),
+            ("max_pool_3x3", 0), ("max_pool_3x3", 1), ("conv_7x1_1x7", 0),
+            ("sep_conv_3x3", 5)],
+    reduce_concat=[3, 4, 6],
+)
+
 DARTS_V1 = Genotype(
     normal=[("sep_conv_3x3", 1), ("sep_conv_3x3", 0), ("skip_connect", 0),
             ("sep_conv_3x3", 1), ("skip_connect", 0), ("sep_conv_3x3", 1),

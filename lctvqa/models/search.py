@@ -84,6 +84,28 @@ def _dil_conv_apply(p, x, stride, k, dtype):
     return C.batchnorm(p.get("bn", {}), y, out_dtype=dtype)
 
 
+def _conv_7x1_1x7_init(key, ch, affine=False):
+    """ReLU -> 1x7 conv -> 7x1 conv -> BN (operations.py:14-19; used by the
+    AmoebaNet preset genotype)."""
+    k1, k2 = jax.random.split(key)
+    p = {
+        "conv_1x7": C.torch_conv_init(k1, 1, 7, ch, ch),
+        "conv_7x1": C.torch_conv_init(k2, 7, 1, ch, ch),
+    }
+    if affine:
+        p["bn"] = C.batchnorm_init(ch)
+    return p
+
+
+def _conv_7x1_1x7_apply(p, x, stride, dtype):
+    y = jnp.maximum(x, 0.0)
+    y = C.conv2d(p["conv_1x7"], y, stride=(1, stride),
+                 padding=((0, 0), (3, 3)), dtype=dtype)
+    y = C.conv2d(p["conv_7x1"], y, stride=(stride, 1),
+                 padding=((3, 3), (0, 0)), dtype=dtype)
+    return C.batchnorm(p.get("bn", {}), y, out_dtype=dtype)
+
+
 def factorized_reduce_init(key, c_in, c_out, affine=False):
     assert c_out % 2 == 0
     k1, k2 = jax.random.split(key)
@@ -130,6 +152,8 @@ def op_init(key, prim: str, ch: int, stride: int, affine: bool = False):
         return _dil_conv_init(key, ch, 3, affine)
     if prim == "dil_conv_5x5":
         return _dil_conv_init(key, ch, 5, affine)
+    if prim == "conv_7x1_1x7":
+        return _conv_7x1_1x7_init(key, ch, affine)
     if prim == "skip_connect" and stride != 1:
         return factorized_reduce_init(key, ch, ch, affine)
     return {}  # none / pools / identity have no parameters
@@ -161,6 +185,8 @@ def op_apply(p, prim: str, x, stride: int, dtype):
         return _dil_conv_apply(p, x, stride, 3, dtype)
     if prim == "dil_conv_5x5":
         return _dil_conv_apply(p, x, stride, 5, dtype)
+    if prim == "conv_7x1_1x7":
+        return _conv_7x1_1x7_apply(p, x, stride, dtype)
     raise ValueError(f"unknown primitive {prim}")
 
 

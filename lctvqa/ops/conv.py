@@ -8,6 +8,8 @@ explicit compute dtype (bf16 on TPU) and accumulate in fp32.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import math
 
 import jax
@@ -78,6 +80,87 @@ def batchnorm_init(c: int, affine: bool = True):
 USE_PALLAS_BN = False
 
 
+# ---------------------------------------------------------------------------
+# BN running-statistics context (opt-in; reference-numerics validation).
+#
+# Default behavior is batch statistics everywhere (see `batchnorm` below).
+# The reference instead calls `model.eval()` during validation
+# (`basic_vqa/experiment.py:292-293`), which switches torch BatchNorm to its
+# momentum-tracked running statistics. To reproduce those numerics without
+# threading mutable BN state through every pure model function, an ambient
+# *trace-time* context gates each `batchnorm` call:
+#   - `with bn_capture() as cap:` batch-stat math as usual, but every call
+#     appends its (mean, biased var, reduction count) to `cap.stats` — the
+#     jitted step returns that pytree as an extra output;
+#   - `update_running_stats(running, cap.stats)` applies torch's momentum
+#     update (0.1, unbiased var), `init_running_stats` gives torch's
+#     (0, 1) init;
+#   - `with bn_eval(running):` each call consumes the next entry IN CALL
+#     ORDER and normalizes with it — the functional equivalent of eval().
+# Call order is deterministic under jax tracing, so capture and eval align
+# as long as the same network-apply runs under both.
+# ---------------------------------------------------------------------------
+
+_BN_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "lctvqa_bn_ctx", default=None)
+
+
+class _BNCtx:
+    __slots__ = ("mode", "stats", "cursor")
+
+    def __init__(self, mode, stats=None):
+        self.mode = mode              # 'capture' | 'eval'
+        self.stats = list(stats) if stats is not None else []
+        self.cursor = 0
+
+
+@contextlib.contextmanager
+def bn_capture():
+    """Collect per-call batch stats from every `batchnorm` in the scope."""
+    ctx = _BNCtx("capture")
+    tok = _BN_CTX.set(ctx)
+    try:
+        yield ctx
+    finally:
+        _BN_CTX.reset(tok)
+
+
+@contextlib.contextmanager
+def bn_eval(stats):
+    """Serve running stats to `batchnorm` calls, one entry per call in call
+    order. Raises if the consumption count mismatches the provided list."""
+    ctx = _BNCtx("eval", stats)
+    tok = _BN_CTX.set(ctx)
+    try:
+        yield ctx
+    finally:
+        _BN_CTX.reset(tok)
+    if ctx.cursor != len(ctx.stats):
+        raise ValueError(
+            f"bn_eval consumed {ctx.cursor} of {len(ctx.stats)} BN stat "
+            f"entries — capture/eval network mismatch")
+
+
+def init_running_stats(captured):
+    """torch BatchNorm init: running_mean=0, running_var=1."""
+    return [{"mean": jnp.zeros_like(c["mean"]),
+             "var": jnp.ones_like(c["var"])} for c in captured]
+
+
+def update_running_stats(running, captured, momentum: float = 0.1):
+    """torch semantics: running = (1-m)*running + m*batch. The captured
+    "var" is already the UNBIASED batch variance (torch BatchNorm2d's
+    update rule; the unbiasing factor is applied at capture time where the
+    reduction count is static)."""
+    out = []
+    for r, c in zip(running, captured):
+        out.append({
+            "mean": (1.0 - momentum) * r["mean"] + momentum * c["mean"],
+            "var": (1.0 - momentum) * r["var"] + momentum * c["var"],
+        })
+    return out
+
+
 def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     """Batch-statistics BN over (N, H, W) per channel.
 
@@ -87,8 +170,30 @@ def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     unconditionally (standard in DARTS reimplementations). Under a DP mesh
     the mean over the batch axis is a *global* mean — jit over a sharded
     batch makes XLA insert the cross-replica reduction, i.e. sync-BN for
-    free.
+    free. The opt-in bn_capture/bn_eval contexts above reproduce the
+    reference's eval-mode running-stats numerics when needed.
     """
+    ctx = _BN_CTX.get()
+    if ctx is not None:
+        if ctx.mode == "eval":
+            if ctx.cursor >= len(ctx.stats):
+                raise ValueError("bn_eval ran out of BN stat entries")
+            s = ctx.stats[ctx.cursor]
+            ctx.cursor += 1
+            x32 = x.astype(jnp.float32)
+            y = (x32 - s["mean"]) * jax.lax.rsqrt(s["var"] + eps)
+            if "scale" in params:
+                y = y * params["scale"] + params["bias"]
+            return y.astype(out_dtype) if out_dtype is not None else y
+        # capture: plain XLA batch-stat path, recording the stats. The
+        # recorded variance is pre-unbiased (reduction count is static
+        # here) because its only consumer is the running-stat update.
+        y, mean, var = batchnorm_xla(params, x, eps, out_dtype,
+                                     return_stats=True)
+        n = float(np.prod(x.shape[:-1]))
+        ctx.stats.append({"mean": mean,
+                          "var": var * (n / max(n - 1.0, 1.0))})
+        return y
     if (USE_PALLAS_BN and not params and x.ndim == 4
             and eps == 1e-5):
         import jax as _jax
@@ -98,11 +203,13 @@ def batchnorm(params, x, eps: float = 1e-5, out_dtype=None):
     return batchnorm_xla(params, x, eps, out_dtype)
 
 
-def batchnorm_xla(params, x, eps: float = 1e-5, out_dtype=None):
+def batchnorm_xla(params, x, eps: float = 1e-5, out_dtype=None,
+                  return_stats: bool = False):
     """The plain two-pass XLA implementation (also the Pallas fallback)."""
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(0, 1, 2))
-    var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(x32, axis=axes)
+    var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if "scale" in params:
         y = y * params["scale"] + params["bias"]
@@ -110,6 +217,8 @@ def batchnorm_xla(params, x, eps: float = 1e-5, out_dtype=None):
     # DARTS nets are HBM-bandwidth-bound on BN traffic — see DESIGN.md)
     if out_dtype is not None:
         y = y.astype(out_dtype)
+    if return_stats:
+        return y, mean, var
     return y
 
 

@@ -39,6 +39,15 @@ from lctvqa.train.metrics import VqaStruct, calc_bleu_scores
 from lctvqa.train.steps import make_lct_steps
 from lctvqa.train.timing import StageTimer, trace
 
+_DEVICE_KEYS = ("image_u8", "question", "answer_label",
+                "answer_multi_choice")
+
+
+def _dev_batch(batch: dict) -> dict:
+    """Device-bound view of a batch: drop host-only fields (image_name
+    strings from the npy loader, index, qst_len) before crossing into jit."""
+    return {k: v for k, v in batch.items() if k in _DEVICE_KEYS}
+
 
 class Experiment:
     def __init__(self, cfg: Config, use_mesh: bool = True,
@@ -54,10 +63,19 @@ class Experiment:
         np.random.seed(seed)
         self.np_rng = np.random.default_rng(seed)
 
-        # data
-        self.data = pipeline.get_loader(cfg.data.input_dir,
-                                        cfg.train.batch_size,
-                                        cfg.train.train_portion)
+        # data: v2 (hdf5, default) or v1 (npy records) — the reference's
+        # --use_old_dataloader switch (basic_vqa/data_factory.py:5-23)
+        if cfg.data.use_old_dataloader:
+            from lctvqa.data import pipeline_npy
+            self.data = pipeline_npy.get_npy_loader(
+                cfg.data.input_dir, max_qst_length=cfg.model.max_qst_len,
+                max_num_ans=cfg.data.max_num_ans,
+                img_size=cfg.model.img_size,
+                train_portion=cfg.train.train_portion)
+        else:
+            self.data = pipeline.get_loader(cfg.data.input_dir,
+                                            cfg.train.batch_size,
+                                            cfg.train.train_portion)
         self.qst_vocab = self.data["train"].qst_vocab
         self.ans_vocab = self.data["train"].ans_vocab
         self.vqa_struct = VqaStruct(cfg.data.input_dir,
@@ -103,6 +121,8 @@ class Experiment:
 
         self.timer = StageTimer()
         self.profile_dir = None  # set to a path to capture a jax profile
+        # BN running stats for eval-mode validation (model.bn_eval_stats)
+        self.bn_running = None
 
         self._load_experiment()
         self.log(f"seed: {seed}")
@@ -157,14 +177,20 @@ class Experiment:
         self.rng, k = jax.random.split(self.rng)
         return k
 
+    def _epoch_iter(self, split: str, shuffle=True):
+        if self.cfg.data.use_old_dataloader:
+            return self.data[split].batches(self.cfg.train.batch_size,
+                                            self.np_rng, shuffle=shuffle)
+        return pipeline.epoch_batches(self.data[split],
+                                      self.cfg.train.batch_size,
+                                      self.np_rng, shuffle=shuffle,
+                                      max_num_ans=self.cfg.data.max_num_ans,
+                                      num_workers=self.cfg.data.num_workers)
+
     def _batches(self, split: str, shuffle=True):
-        it = pipeline.epoch_batches(self.data[split],
-                                    self.cfg.train.batch_size,
-                                    self.np_rng, shuffle=shuffle,
-                                    max_num_ans=self.cfg.data.max_num_ans,
-                                    num_workers=self.cfg.data.num_workers)
         return pipeline.Prefetcher(
-            it, sharding=self.batch_sharding,
+            self._epoch_iter(split, shuffle),
+            sharding=self.batch_sharding,
             depth=self.cfg.data.prefetch,
             device_keys=("image_u8", "question", "answer_label",
                          "answer_multi_choice"))
@@ -206,8 +232,7 @@ class Experiment:
         # is a full RPC roundtrip on tunneled TPU setups)
         ef_losses, w_losses = [], []
         ef_c1s, ef_c2s, w_corrs = [], [], []
-        valid_iter = cycle(pipeline.epoch_batches(
-            self.data["valid"], t.batch_size, self.np_rng))
+        valid_iter = cycle(self._epoch_iter("valid"))
         do_stage3 = (self.arch is not None and not t.skip_stage3)
         last_batch = None
 
@@ -215,11 +240,12 @@ class Experiment:
             last_batch = batch
             if do_stage3 and batch_idx % self.arch_update_freq == 0:
                 with self.timer.stage("stage3"):
-                    val_batch = mesh_lib.shard_batch(next(valid_iter),
-                                                     self.mesh)
+                    val_batch = mesh_lib.shard_batch(
+                        _dev_batch(next(valid_iter)), self.mesh)
                     self.arch, self.arch_opt, s3_loss = self.steps[
                         "stage3"](self.arch, self.arch_opt, self.ef_params,
-                                  self.w_params, batch, val_batch,
+                                  self.w_params, _dev_batch(batch),
+                                  val_batch,
                                   jnp.float32(ef_lr), jnp.float32(w_lr),
                                   self._next_rng())
                     s3_loss = float(s3_loss)
@@ -227,9 +253,16 @@ class Experiment:
                          f"{s3_loss:.4f}")
 
             with self.timer.stage("stage1"):
-                self.ef_params, self.ef_opt, loss, c1, c2 = self.steps[
-                    "stage1"](self.ef_params, self.arch, self.ef_opt,
-                              batch, self._next_rng())
+                out = self.steps["stage1"](self.ef_params, self.arch,
+                                           self.ef_opt, _dev_batch(batch),
+                                           self._next_rng())
+                if self.cfg.model.bn_eval_stats:
+                    (self.ef_params, self.ef_opt, loss, c1, c2,
+                     bn_stats) = out
+                    self.bn_running = self.steps["bn_update"](
+                        self.bn_running, bn_stats)
+                else:
+                    self.ef_params, self.ef_opt, loss, c1, c2 = out
             ef_losses.append(loss)
             ef_c1s.append(c1)
             ef_c2s.append(c2)
@@ -244,8 +277,8 @@ class Experiment:
                 with self.timer.stage("stage2"):
                     self.w_params, self.w_opt, loss2, wc = self.steps[
                         "stage2"](self.w_params, self.w_opt,
-                                  self.ef_params, self.arch, batch,
-                                  self._next_rng())
+                                  self.ef_params, self.arch,
+                                  _dev_batch(batch), self._next_rng())
                 w_losses.append(loss2)
                 w_corrs.append(wc)
                 if batch_idx % t.report_freq == 0:
@@ -256,6 +289,7 @@ class Experiment:
                         f"W-Loss: {float(loss2):.4f}")
 
         ef_loss = float(jnp.sum(jnp.stack(ef_losses)))
+        ef_corr1 = int(jnp.sum(jnp.stack(ef_c1s)))
         ef_corr2 = int(jnp.sum(jnp.stack(ef_c2s)))
         w_loss = (float(jnp.sum(jnp.stack(w_losses))) if w_losses else 0.0)
         w_corr = (int(jnp.sum(jnp.stack(w_corrs))) if w_corrs else 0)
@@ -268,7 +302,8 @@ class Experiment:
         self.log(
             f"| TRAIN SET | Epoch [{self.current_epoch + 1:02d}/"
             f"{self.epochs:02d}], EF-Loss: {self.train_ef_loss[-1]:.4f} "
-            f"EF-Acc: {self.train_ef_acc[-1]:.4f}, "
+            f"EF-Acc(Exp1): {ef_corr1 / n:.4f}, "
+            f"EF-Acc(Exp2): {self.train_ef_acc[-1]:.4f}, "
             f"W-Loss: {self.train_w_loss[-1]:.4f}, "
             f"W-Acc: {self.train_w_acc[-1]:.4f}")
         self.log(f"| TIMING | {self.timer.summary()}")
@@ -276,10 +311,17 @@ class Experiment:
         if last_batch is not None:
             self.evaluate_gen_qst(last_batch)
 
+    def _eval_step(self, batch):
+        if self.cfg.model.bn_eval_stats:
+            return self.steps["eval"](self.ef_params, self.arch,
+                                      _dev_batch(batch), self._next_rng(),
+                                      self.bn_running)
+        return self.steps["eval"](self.ef_params, self.arch,
+                                  _dev_batch(batch), self._next_rng())
+
     def evaluate_gen_qst(self, batch):
         """Log ground-truth vs generated QA pairs (experiment.py:149-172)."""
-        _, _, _, gen_qst, gen_ans = self.steps["eval"](
-            self.ef_params, self.arch, batch, self._next_rng())
+        _, _, _, gen_qst, gen_ans = self._eval_step(batch)
         gen_qst = np.asarray(gen_qst)
         gen_pred = np.asarray(jnp.argmax(gen_ans, 1))
         qsts = np.asarray(batch["question"])
@@ -308,8 +350,7 @@ class Experiment:
         bleu_futures = []
         for batch_idx, batch in enumerate(self._batches("valid",
                                                         shuffle=False)):
-            loss, c1, c2, gen_qst, _ = self.steps["eval"](
-                self.ef_params, self.arch, batch, self._next_rng())
+            loss, c1, c2, gen_qst, _ = self._eval_step(batch)
             running_loss += float(loss)
             corr1 += int(c1)
             corr2 += int(c2)
@@ -340,11 +381,13 @@ class Experiment:
             os.path.join(self.exp_dir, "ef_model.ckpt"),
             {"ef_params": self.ef_params, "ef_opt": self.ef_opt,
              "arch": self.arch, "arch_opt": self.arch_opt,
-             "epoch": self.current_epoch + 1})
+             "epoch": self.current_epoch + 1},
+            config=self.cfg)
         checkpoint.save_state(
             os.path.join(self.exp_dir, "w_model.ckpt"),
             {"w_params": self.w_params, "w_opt": self.w_opt,
-             "epoch": self.current_epoch + 1})
+             "epoch": self.current_epoch + 1},
+            config=self.cfg)
 
     def load_model(self):
         state = checkpoint.load_state(

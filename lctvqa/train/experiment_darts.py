@@ -187,6 +187,13 @@ class DartsExperiment:
         compile_cache.enable()
         self.qst_only = qst_only
         self.exp_dir = os.path.join(cfg.root_stats_dir, cfg.exp_name)
+        # non-empty-dir guard unless resuming (darts_vqa/experiment.py:91-99;
+        # we raise instead of dropping into pdb)
+        if os.path.exists(self.exp_dir) and not cfg.resume:
+            if len(os.listdir(self.exp_dir)) > 1:
+                raise RuntimeError(
+                    f"exp dir {self.exp_dir} not empty; delete it or "
+                    f"pass resume=True")
         os.makedirs(self.exp_dir, exist_ok=True)
         self._setup_logger()
         self.rng = jax.random.PRNGKey(cfg.train.seed)
@@ -206,6 +213,10 @@ class DartsExperiment:
         self.arch_update_freq = cfg.train.arch_update_freq
         self.train_loss, self.train_acc = [], []
         self.val_loss, self.val_acc, self.val_b4 = [], [], []
+        if cfg.resume:
+            # continue from the saved epoch (darts_vqa/experiment.py:100-103)
+            self.load_model()
+            self.load_stats()
 
     def _init_model(self, key):
         self.params, self.arch = vqa_ef.init_ef_model(key, self.cfg.model)
@@ -244,7 +255,7 @@ class DartsExperiment:
             self.train_epoch()
             self.val()
             self.save_model()
-        self.save_stats()
+            self.save_stats()  # per epoch, like darts_vqa/experiment.py:126
 
     def train_epoch(self):
         t = self.cfg.train
@@ -274,9 +285,15 @@ class DartsExperiment:
         self.train_loss.append(total_loss / max(nb, 1))
 
     def val(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         t = self.cfg.train
         total_loss = total_corr = 0.0
-        total_b4, nb, n = 0.0, 0, 0
+        nb, n = 0, 0
+        # host-side nltk BLEU runs off the device dispatch path, like the
+        # LCT val (SURVEY.md §7 hard-part 7)
+        bleu_pool = ThreadPoolExecutor(max_workers=1)
+        bleu_futures = []
         for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
                                                 shuffle=False):
             loss, corr, gen_qst = self.steps["eval"](
@@ -284,11 +301,14 @@ class DartsExperiment:
                 self._next_rng())
             total_loss += float(loss)
             total_corr += int(corr)
-            total_b4 += calc_bleu_scores(batch["image_name"],
-                                         np.asarray(gen_qst),
-                                         self.qst_vocab, self.vqa_struct)
+            bleu_futures.append(bleu_pool.submit(
+                lambda nm, gq: calc_bleu_scores(
+                    nm, np.asarray(gq), self.qst_vocab, self.vqa_struct),
+                batch["image_name"], gen_qst))
             nb += 1
             n += len(batch["image_u8"])
+        total_b4 = sum(f.result() for f in bleu_futures)
+        bleu_pool.shutdown()
         self.val_loss.append(total_loss / max(nb, 1))
         self.val_acc.append(total_corr / max(n, 1))
         self.val_b4.append(total_b4 / max(nb, 1))
@@ -299,12 +319,14 @@ class DartsExperiment:
         checkpoint.save_state(
             os.path.join(self.exp_dir, "vqa_model.ckpt"),
             {"params": self.params, "opt": self.opt,
-             "epoch": self.current_epoch + 1})
+             "epoch": self.current_epoch + 1},
+            config=self.cfg)
         if self.arch is not None:
             # arch params saved separately (darts_vqa/experiment.py:300-301)
             checkpoint.save_state(
                 os.path.join(self.exp_dir, "arch_par.ckpt"),
-                {"arch": self.arch, "arch_opt": self.arch_opt})
+                {"arch": self.arch, "arch_opt": self.arch_opt},
+                config=self.cfg)
 
     def load_model(self):
         st = checkpoint.load_state(
@@ -322,7 +344,19 @@ class DartsExperiment:
             os.path.join(self.exp_dir, "stats.ckpt"),
             {"train_loss": self.train_loss, "train_acc": self.train_acc,
              "val_loss": self.val_loss, "val_acc": self.val_acc,
-             "val_b4": self.val_b4})
+             "val_b4": self.val_b4},
+            config=self.cfg)
+
+    def load_stats(self):
+        path = os.path.join(self.exp_dir, "stats.ckpt")
+        if not checkpoint.exists(path):
+            return
+        st = checkpoint.load_state(path)
+        self.train_loss = st["train_loss"]
+        self.train_acc = st["train_acc"]
+        self.val_loss = st["val_loss"]
+        self.val_acc = st["val_acc"]
+        self.val_b4 = st["val_b4"]
 
 
 class DartsExperimentUnified(DartsExperiment):
@@ -377,9 +411,13 @@ class DartsExperimentUnified(DartsExperiment):
         self.train_acc.append(total_acc / max(nb, 1))
 
     def val(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         t = self.cfg.train
-        total_loss = total_acc = total_b4 = 0.0
+        total_loss = total_acc = 0.0
         nb = 0
+        bleu_pool = ThreadPoolExecutor(max_workers=1)
+        bleu_futures = []
         for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
                                                 shuffle=False):
             loss, qa_pred, qa_gen = self.steps["eval"](
@@ -389,10 +427,14 @@ class DartsExperimentUnified(DartsExperiment):
             total_acc += unified_ans_acc(np.asarray(batch["qa_str"]),
                                          np.asarray(qa_pred),
                                          self.unified_vocab)
-            total_b4 += calc_bleu_scores_unified(
-                batch["image_name"], np.asarray(qa_gen),
-                self.unified_vocab, self.vqa_struct)
+            bleu_futures.append(bleu_pool.submit(
+                lambda nm, gq: calc_bleu_scores_unified(
+                    nm, np.asarray(gq), self.unified_vocab,
+                    self.vqa_struct),
+                batch["image_name"], qa_gen))
             nb += 1
+        total_b4 = sum(f.result() for f in bleu_futures)
+        bleu_pool.shutdown()
         self.val_loss.append(total_loss / max(nb, 1))
         self.val_acc.append(total_acc / max(nb, 1))
         self.val_b4.append(total_b4 / max(nb, 1))

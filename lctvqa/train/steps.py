@@ -39,18 +39,29 @@ def make_lct_steps(cfg: Config, unk_idx: int):
     # ---------------- STAGE 1: EF weight update (experiment.py:214-227)
     @jax.jit
     def stage1(ef_params, arch, ef_opt_state, batch, rng):
+        from lctvqa.ops import conv as C
         img = _img(batch)
         qst = batch["question"]
         labels = batch["answer_label"]
 
         def loss_fn(p):
-            ans_logits, qst_logits = vqa_ef.ef_forward(
-                p, arch, mcfg, img, qst, rng=rng, deterministic=False)
+            if mcfg.bn_eval_stats:
+                # capture the EF net's BN batch stats so the experiment can
+                # maintain running stats for eval-mode validation
+                with C.bn_capture() as cap:
+                    ans_logits, qst_logits = vqa_ef.ef_forward(
+                        p, arch, mcfg, img, qst, rng=rng,
+                        deterministic=False)
+                bn_stats = cap.stats
+            else:
+                ans_logits, qst_logits = vqa_ef.ef_forward(
+                    p, arch, mcfg, img, qst, rng=rng, deterministic=False)
+                bn_stats = []
             loss = (cross_entropy(ans_logits, labels)
                     + _qst_ce(qst_logits, qst))
-            return loss, ans_logits
+            return loss, (ans_logits, bn_stats)
 
-        (loss, ans_logits), grads = jax.value_and_grad(
+        (loss, (ans_logits, bn_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(ef_params)
         updates, ef_opt_state = ef_tx.update(grads, ef_opt_state, ef_params)
         ef_params = optax.apply_updates(ef_params, updates)
@@ -58,7 +69,16 @@ def make_lct_steps(cfg: Config, unk_idx: int):
         corr1 = num_correct(pred, batch["answer_multi_choice"])
         corr2 = num_correct(mask_unk(pred, unk_idx),
                             batch["answer_multi_choice"])
+        if mcfg.bn_eval_stats:
+            return ef_params, ef_opt_state, loss, corr1, corr2, bn_stats
         return ef_params, ef_opt_state, loss, corr1, corr2
+
+    @jax.jit
+    def bn_update(running, captured):
+        from lctvqa.ops import conv as C
+        if running is None:
+            running = C.init_running_stats(captured)
+        return C.update_running_stats(running, captured)
 
     def _qst_ce(qst_logits, qst):
         v = qst_logits.shape[-1]
@@ -113,27 +133,45 @@ def make_lct_steps(cfg: Config, unk_idx: int):
         return arch, arch_opt_state, val_loss
 
     # ---------------- validation (experiment.py:291-353)
-    @jax.jit
-    def eval_step(ef_params, arch, batch, rng):
+    def _eval_body(ef_params, arch, batch, rng, bn_running):
+        from lctvqa.ops import conv as C
+        import contextlib
         img = _img(batch)
         qst = batch["question"]
         labels = batch["answer_label"]
-        ans_logits, _ = vqa_ef.ef_forward(ef_params, arch, mcfg, img, qst,
-                                          deterministic=True)
+        # with running stats, each model invocation consumes the full stat
+        # list once (reference model.eval() numerics); else batch stats
+        ctx = (lambda: C.bn_eval(bn_running)) if bn_running is not None \
+            else contextlib.nullcontext
+        with ctx():
+            ans_logits, _ = vqa_ef.ef_forward(ef_params, arch, mcfg, img,
+                                              qst, deterministic=True)
         loss = cross_entropy(ans_logits, labels)
         pred = jnp.argmax(ans_logits, axis=1)
         corr1 = num_correct(pred, batch["answer_multi_choice"])
         corr2 = num_correct(mask_unk(pred, unk_idx),
                             batch["answer_multi_choice"])
-        gen_qst, gen_ans = vqa_ef.ef_generate(ef_params, arch, mcfg, img,
-                                              rng=rng, deterministic=True)
+        with ctx():
+            gen_qst, gen_ans = vqa_ef.ef_generate(ef_params, arch, mcfg,
+                                                  img, rng=rng,
+                                                  deterministic=True)
         return loss, corr1, corr2, gen_qst, gen_ans
+
+    if mcfg.bn_eval_stats:
+        @jax.jit
+        def eval_step(ef_params, arch, batch, rng, bn_running):
+            return _eval_body(ef_params, arch, batch, rng, bn_running)
+    else:
+        @jax.jit
+        def eval_step(ef_params, arch, batch, rng):
+            return _eval_body(ef_params, arch, batch, rng, None)
 
     return {
         "stage1": stage1,
         "stage2": stage2,
         "stage3": stage3,
         "eval": eval_step,
+        "bn_update": bn_update,
         "ef_tx": ef_tx,
         "w_tx": w_tx,
         "arch_tx": arch_tx,

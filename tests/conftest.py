@@ -3,8 +3,12 @@ TPU hardware (the JAX analogue of multi-device testing, SURVEY.md §4)."""
 
 import os
 
+# --xla_cpu_max_isa pins a portable CPU compile target so persistent-cache
+# entries don't SIGILL on deserialize after a host change (see
+# lctvqa/compile_cache.py).
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                           + " --xla_force_host_platform_device_count=8")
+                           + " --xla_force_host_platform_device_count=8"
+                           + " --xla_cpu_max_isa=AVX2")
 
 import jax
 
@@ -14,9 +18,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Single-core host: persistent compilation cache makes repeated test runs
 # skip XLA compiles entirely.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from lctvqa import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import numpy as np
 import pytest

@@ -26,17 +26,13 @@ def test_cli_lct_and_eval(synth32, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _run(synth32, tmp_path, "--exp", "cli_lct", "--skip_stage3")
     assert os.path.exists(tmp_path / "experiment_data/cli_lct/ef_model.ckpt")
-    # eval CLI on the produced checkpoint (model-eval.ipynb equivalent)
-    import dataclasses
-
+    # eval CLI on the produced checkpoint (model-eval.ipynb equivalent);
+    # model dims come from the config embedded in the checkpoint — no
+    # dim-replication flags needed
     import lctvqa.eval as ev
-    from lctvqa.main import build_parser, config_from_args
-    # eval needs the same tiny model dims; monkeypatch its ModelConfig via
-    # argv is not enough, so call with explicit args and patch the config
     ev.main(["--exp", "cli_lct", "--input_dir", synth32,
              "--root_stats_dir", str(tmp_path / "experiment_data"),
-             "--batch_size", "8", "--num_batches", "1", "--img_size", "32",
-             "--tiny"])
+             "--batch_size", "8", "--num_batches", "1"])
 
 
 def test_cli_darts(synth32, tmp_path, monkeypatch):

@@ -68,6 +68,40 @@ def test_darts_experiment_one_epoch(synth_dir, tmp_path):
         assert os.path.exists(os.path.join(exp.exp_dir, f))
 
 
+def test_darts_experiment_resume_and_guard(synth_dir, tmp_path):
+    """Resume restores epoch/params/arch/stats (darts_vqa/experiment.py:
+    91-103); a fresh run into a non-empty dir errors out."""
+    import dataclasses
+
+    from lctvqa.train.experiment_darts import DartsExperiment
+    cfg = _cfg(synth_dir, tmp_path, "darts_resume")
+    exp = DartsExperiment(cfg)
+    exp.run()
+
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    exp2 = DartsExperiment(cfg2)
+    assert exp2.current_epoch == 1          # continues from saved epoch
+    assert exp2.train_loss == exp.train_loss  # stats restored
+    np.testing.assert_allclose(
+        np.asarray(exp2.arch["alphas_normal"]),
+        np.asarray(exp.arch["alphas_normal"]))
+    leaves1 = np.concatenate([np.ravel(x) for x in __import__(
+        "jax").tree_util.tree_leaves(exp.params)])
+    leaves2 = np.concatenate([np.ravel(x) for x in __import__(
+        "jax").tree_util.tree_leaves(exp2.params)])
+    np.testing.assert_allclose(leaves1, leaves2)
+
+    # guard: same dir without resume must raise
+    with pytest.raises(RuntimeError, match="not empty"):
+        DartsExperiment(cfg)
+
+    # checkpoints are self-describing
+    from lctvqa.train import checkpoint
+    saved_cfg = checkpoint.load_config(
+        os.path.join(exp.exp_dir, "vqa_model.ckpt"))
+    assert saved_cfg is not None and saved_cfg.model == cfg.model
+
+
 def test_unified_experiment_one_epoch(synth_dir, tmp_path):
     from lctvqa.train.experiment_darts import DartsExperimentUnified
     exp = DartsExperimentUnified(_cfg(synth_dir, tmp_path, "unified_exp"))

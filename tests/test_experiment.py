@@ -68,6 +68,23 @@ def test_full_lct_experiment(synth32, tmp_path):
         np.asarray(exp.arch["alphas_normal"]))
 
 
+def test_lct_experiment_on_npy_loader(synth32, tmp_path):
+    """--use_old_dataloader parity: the LCT loop over the v1 npy records
+    (basic_vqa/data_factory.py:5-23)."""
+    import dataclasses
+
+    from lctvqa.train.experiment import Experiment
+    cfg = _cfg(synth32, tmp_path / "npy", skip_stage3=True)
+    cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, use_old_dataloader=True))
+    exp = Experiment(cfg)
+    from lctvqa.data.pipeline_npy import VqaNpyDataset
+    assert isinstance(exp.data["train"], VqaNpyDataset)
+    exp.run()
+    assert np.isfinite(exp.train_ef_loss[0])
+    assert np.isfinite(exp.val_ef_loss[-1])
+
+
 def test_arch_params_updated_by_stage3(synth32, tmp_path):
     """Stage 3 must actually move the alphas."""
     from lctvqa.train.experiment import Experiment

@@ -103,6 +103,30 @@ def test_batchnorm_train_mode():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
+def test_conv_7x1_1x7_matches_torch(stride):
+    """ReLU -> 1x7 conv -> 7x1 conv -> BN (operations.py:14-19)."""
+    import jax
+
+    from lctvqa.models.search import (_conv_7x1_1x7_apply,
+                                      _conv_7x1_1x7_init)
+    rng = np.random.RandomState(10)
+    ch = 4
+    x = rng.randn(3, 8, 8, ch).astype(np.float32)
+    p = _conv_7x1_1x7_init(jax.random.PRNGKey(0), ch)
+    ours = _conv_7x1_1x7_apply(p, jnp.asarray(x), stride, None)
+
+    w17 = torch.tensor(_np(p["conv_1x7"]["w"])).permute(3, 2, 0, 1)
+    w71 = torch.tensor(_np(p["conv_7x1"]["w"])).permute(3, 2, 0, 1)
+    t = torch.relu(torch.tensor(x).permute(0, 3, 1, 2))
+    t = F.conv2d(t, w17, None, stride=(1, stride), padding=(0, 3))
+    t = F.conv2d(t, w71, None, stride=(stride, 1), padding=(3, 0))
+    bn = torch.nn.BatchNorm2d(ch, affine=False)
+    bn.train()
+    theirs = bn(t).detach().permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(_np(ours), theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_lstm_matches_torch():
     rng = np.random.RandomState(6)
     b, t, in_sz, hid = 3, 5, 4, 6
