@@ -119,12 +119,8 @@ def _get_baseline() -> float:
 def tpu_pairs_per_sec(iters: int = 30) -> float:
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from lctvqa import compile_cache
+    compile_cache.enable()
     import jax.numpy as jnp
 
     from lctvqa.config import ModelConfig
@@ -193,21 +189,40 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
         "answer_multi_choice": jax.device_put(rng.randint(
             -1, AVOCAB, (BATCH, 10)).astype(np.int32)),
     }
-    # warm
-    ef_params, ef_opt, loss, _, _ = steps["stage1"](ef_params, arch,
-                                                    ef_opt, batch, key)
-    w_params, w_opt, loss2, _ = steps["stage2"](w_params, w_opt, ef_params,
-                                                arch, batch, key)
+    # One jitted stage1+stage2 program over PACKED param/opt buffers: the
+    # darts pytrees have ~1200 leaves and per-call dispatch grows with the
+    # buffer count (NOTES.md) — packing makes the step's argument list a
+    # handful of buffers and one dispatch per iteration.
+    from lctvqa.ops.packing import Packer, pack_step
+
+    p_ef, p_efo = Packer(ef_params), Packer(ef_opt)
+    p_w, p_wo = Packer(w_params), Packer(w_opt)
+
+    def combined(ef_p, ef_o, w_p, w_o, arch, batch, rng):
+        r1, r2 = jax.random.split(rng)
+        ef_p, ef_o, loss1, _, _ = steps["stage1"](ef_p, arch, ef_o, batch,
+                                                  r1)
+        w_p, w_o, loss2, _ = steps["stage2"](w_p, w_o, ef_p, arch, batch,
+                                             r2)
+        return ef_p, ef_o, w_p, w_o, loss2
+
+    train_step = pack_step(combined,
+                           (p_ef, p_efo, p_w, p_wo, None, None, None),
+                           (p_ef, p_efo, p_w, p_wo, None))
+    ef_pk, ef_opk = p_ef.pack(ef_params), p_efo.pack(ef_opt)
+    w_pk, w_opk = p_w.pack(w_params), p_wo.pack(w_opt)
+    # warm/compile
+    ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
+        ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
     float(loss2)
     t0 = time.perf_counter()
     for _ in range(iters):
-        ef_params, ef_opt, loss, _, _ = steps["stage1"](
-            ef_params, arch, ef_opt, batch, key)
-        w_params, w_opt, loss2, _ = steps["stage2"](
-            w_params, w_opt, ef_params, arch, batch, key)
+        ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
+            ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
     float(loss2)
     dt = time.perf_counter() - t0
     train_pps = BATCH * iters / dt
+    ef_params = p_ef.unpack(ef_pk)  # for the generate bench below
 
     gen = jax.jit(lambda p, a, u8: vqa_ef.ef_generate(
         p, a, cfg.model,
@@ -225,27 +240,67 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
             "generate_tokens_per_sec": round(gen_tokens, 2)}
 
 
+def _mfu_numbers(infer_pps: float, train_pps: float,
+                 gen_tokens_per_sec: float) -> dict:
+    """Analytic-FLOPs MFU against the attached chip's bf16 peak.
+
+    - mfu:        W-model inference (exact forward FLOPs, ops/flops.py)
+    - train_mfu:  stage1 (EF fwd+bwd ~ 3x fwd) + stage2 (generate fwd +
+                  3x two W forwards) per pair — an approximate lower
+                  bound (BN/elementwise traffic not counted as FLOPs).
+    """
+    import jax
+
+    from lctvqa.config import ModelConfig
+    from lctvqa.ops import flops as F
+
+    peak = F.peak_flops()
+    dev = jax.devices()[0].device_kind
+    w_cfg = ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                        ans_vocab_size=AVOCAB, arch_type="fixed")
+    ef_cfg = ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                         ans_vocab_size=AVOCAB, arch_type="darts")
+    infer_flops_per_pair = F.w_fwd_flops(w_cfg, 1)
+    train_flops_per_pair = (3.0 * F.ef_fwd_flops(ef_cfg, 1, qlen=25)
+                            + F.ef_generate_flops(ef_cfg, 1)
+                            + 3.0 * 2.0 * F.w_fwd_flops(w_cfg, 1))
+    out = {"device": dev,
+           "infer_gflops_per_pair": round(infer_flops_per_pair / 1e9, 3),
+           "train_gflops_per_pair": round(train_flops_per_pair / 1e9, 3)}
+    if peak > 0:
+        out["mfu"] = round(infer_pps * infer_flops_per_pair / peak, 4)
+        out["train_mfu"] = round(train_pps * train_flops_per_pair / peak, 4)
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=100)
-    p.add_argument("--details", action="store_true",
-                   help="also measure training/generate throughput into "
-                        "bench_details.json")
+    p.add_argument("--train_iters", type=int, default=30)
+    p.add_argument("--skip_train", action="store_true",
+                   help="headline inference number only (fast)")
     args = p.parse_args()
     baseline = _get_baseline()
     value = tpu_pairs_per_sec(args.iters)
-    if args.details:
-        details = train_pairs_per_sec()
-        details["inference_pairs_per_sec"] = round(value, 2)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_details.json"), "w") as f:
-            json.dump(details, f)
-    print(json.dumps({
+    result = {
         "metric": "vqa_pairs_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "pairs/s",
         "vs_baseline": round(value / baseline, 2),
-    }))
+    }
+    if not args.skip_train:
+        details = train_pairs_per_sec(args.train_iters)
+        result["train_pairs_per_sec"] = details["lct_train_pairs_per_sec"]
+        result["generate_tokens_per_sec"] = \
+            details["generate_tokens_per_sec"]
+        result.update(_mfu_numbers(value,
+                                   details["lct_train_pairs_per_sec"],
+                                   details["generate_tokens_per_sec"]))
+        details["inference_pairs_per_sec"] = round(value, 2)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_details.json"), "w") as f:
+            json.dump(details, f)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

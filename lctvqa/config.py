@@ -59,6 +59,12 @@ class ModelConfig:
     # (basic_vqa/experiment.py:292-293). Default off: batch stats at eval
     # (the standard DARTS choice — see ops/conv.py batchnorm docstring).
     bn_eval_stats: bool = False
+    # Fold each primitive's FINAL affine-free BN into the alpha mixture
+    # (models/search.py:_mixed_fold): same math, but the 8 normalized
+    # intermediates per edge are never written — removes most of the BN
+    # HBM traffic the search net is bound on. Forced off when
+    # bn_eval_stats is on (that mode needs explicit batchnorm calls).
+    fold_bn_mixture: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +95,11 @@ class TrainConfig:
     # 'fd'     -> finite-difference HVPs mirroring the reference
     #             (basic_vqa/pcdarts/architect_lct.py:181-235).
     architect_mode: str = "exact"
+    # Carry params/opt state through the train loop as packed 1D buffers
+    # (ops/packing.py): O(1) argument buffers per stage call instead of
+    # O(1000) leaves — dispatch-bound setups (remote/tunneled TPU) gain
+    # a lot; identical math everywhere.
+    packed_dispatch: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +109,9 @@ class DataConfig:
     use_old_dataloader: bool = False   # v1 npy+JPEG loader vs v2 hdf5 loader
     max_num_ans: int = 10              # MAX_NUM_ANS multi-choice slots
     prefetch: int = 2                  # device prefetch depth
+    # image residency: 'ram' | 'lazy' (chunked h5 reads) | 'auto'
+    # (ram iff the split fits VqaH5Dataset.PRELOAD_LIMIT_BYTES)
+    preload_images: str = "auto"
     # ImageNet normalization (basic_vqa/data_loader_v2.py:84-85)
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
@@ -109,6 +123,10 @@ class MeshConfig:
 
     data_axis: str = "data"
     num_devices: int = 0               # 0 -> use all local devices
+    # multi-host DP: mesh over ALL processes' devices; every host feeds its
+    # disjoint shard of the global batch (parallel/distributed.py). Callers
+    # must run jax.distributed.initialize() first (main.py --multihost).
+    multihost: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

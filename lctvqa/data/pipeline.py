@@ -41,11 +41,19 @@ class VqaH5Dataset:
     from the valid answers per epoch, 10-slot multi_choice padded with -1.
     """
 
+    # whole-split RAM residency above this would be unreasonable (e.g. the
+    # 224px train2014 set is ~35 GB); switch to chunked h5 reads instead
+    PRELOAD_LIMIT_BYTES = 4 << 30
+
     def __init__(self, input_dir: str, split: str,
-                 train_portion: float = 1.0):
+                 train_portion: float = 1.0, preload: str = "auto"):
+        """preload: 'ram' (whole split in host RAM, fastest), 'lazy'
+        (chunked h5 reads per batch, bounded memory), or 'auto' (ram iff
+        the split fits PRELOAD_LIMIT_BYTES)."""
         import h5py
 
         assert split in ("train", "val")
+        assert preload in ("ram", "lazy", "auto")
         self.split = split
         self.input_dir = input_dir
         with h5py.File(os.path.join(input_dir, "qst-ans.h5"), "r") as fd:
@@ -53,9 +61,17 @@ class VqaH5Dataset:
             self.qst_len = fd[f"{split}/qst_len"][()].astype(np.int32)
             self.enc_ans = fd[f"{split}/enc_ans"][()]
             self.img_id = fd[f"{split}/img_id"][()]
-        with h5py.File(os.path.join(input_dir, "images.h5"), "r") as fd:
-            self.images = fd[f"{split}/images"][()]  # uint8 NHWC
-            coco_ids = fd[f"{split}/coco_ids"][()]
+        self._img_fd = h5py.File(os.path.join(input_dir, "images.h5"), "r")
+        images = self._img_fd[f"{split}/images"]
+        coco_ids = self._img_fd[f"{split}/coco_ids"][()]
+        nbytes = int(np.prod(images.shape))
+        if preload == "ram" or (preload == "auto"
+                                and nbytes <= self.PRELOAD_LIMIT_BYTES):
+            self.images = images[()]  # uint8 NHWC, RAM-resident
+            self._img_fd.close()
+            self._img_fd = None
+        else:
+            self.images = images      # h5 dataset: chunked per-batch reads
         id_to_row = {int(cid): i for i, cid in enumerate(coco_ids)}
         self.img_row = np.array([id_to_row[int(i)] for i in self.img_id],
                                 np.int32)
@@ -72,6 +88,21 @@ class VqaH5Dataset:
     def image_names(self, idx: np.ndarray):
         return [f"COCO_{self.split}2014_{int(i):012d}"
                 for i in self.img_id[idx]]
+
+    def _gather_images(self, rows: np.ndarray,
+                       num_workers: int = 1) -> np.ndarray:
+        """Row gather from RAM (native fast path) or chunked h5 (lazy)."""
+        if isinstance(self.images, np.ndarray):
+            from lctvqa import native
+            if native.available():
+                out = native.gather_rows(self.images, rows,
+                                         num_threads=num_workers)
+                if out is not None:
+                    return out
+            return self.images[rows]
+        # h5 fancy selection needs sorted unique indices
+        uniq, inv = np.unique(rows, return_inverse=True)
+        return self.images[uniq][inv]
 
     def gather(self, idx: np.ndarray, rng: np.random.Generator,
                max_num_ans: int = 10,
@@ -93,9 +124,8 @@ class VqaH5Dataset:
                 labels, mc = native.sample_answers(
                     enc_ans, self.ans_vocab.unk2idx, seed, max_num_ans)
                 return {
-                    "image_u8": native.gather_rows(self.images,
-                                                   self.img_row[idx],
-                                                   num_threads=num_workers),
+                    "image_u8": self._gather_images(self.img_row[idx],
+                                                    num_workers),
                     "question": self.enc_qst[idx],
                     "qst_len": self.qst_len[idx],
                     "answer_label": labels,
@@ -122,7 +152,7 @@ class VqaH5Dataset:
         ranks = np.arange(max_num_ans)[None, :]
         mc = np.where(ranks < n_valid[:, None], mc, -1)
         return {
-            "image_u8": self.images[self.img_row[idx]],
+            "image_u8": self._gather_images(self.img_row[idx]),
             "question": self.enc_qst[idx],
             "qst_len": self.qst_len[idx],
             "answer_label": answer_label,
@@ -135,14 +165,30 @@ def epoch_batches(dataset: VqaH5Dataset, batch_size: int,
                   rng: np.random.Generator, shuffle: bool = True,
                   drop_remainder: bool = True,
                   max_num_ans: int = 10,
-                  num_workers: int = 1) -> Iterator[dict]:
+                  num_workers: int = 1,
+                  process_index: int = 0,
+                  process_count: int = 1) -> Iterator[dict]:
+    """Batches of `batch_size` question indices.
+
+    Multi-host: every process draws the SAME shuffled index sequence (same
+    seed on all hosts) and takes its disjoint `batch_size/process_count`
+    slice of each global batch window — the per-host shard that
+    `parallel.distributed.make_global_batch` assembles into one global
+    array. Single-process (the default) is the identity of the old
+    behavior.
+    """
+    assert batch_size % process_count == 0, \
+        "global batch must divide evenly across hosts"
+    per = batch_size // process_count
     idx = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(idx)
     n_full = len(idx) // batch_size
     end = n_full * batch_size if drop_remainder else len(idx)
     for s in range(0, end, batch_size):
-        yield dataset.gather(idx[s:s + batch_size], rng, max_num_ans,
+        window = idx[s:s + batch_size]
+        local = window[process_index * per:(process_index + 1) * per]
+        yield dataset.gather(local, rng, max_num_ans,
                              num_workers=num_workers)
 
 
@@ -158,16 +204,27 @@ class Prefetcher:
 
     `sharding` (optional jax.sharding.Sharding) places each array — batch
     axis over the data mesh — so the HBM copy overlaps compute.
+    `global_mesh` switches to multi-host assembly: each device key is a
+    PER-HOST shard combined into one global jax.Array
+    (parallel.distributed.make_global_batch); host-only keys stay local.
     """
 
     def __init__(self, it: Iterator[dict], sharding=None, depth: int = 2,
-                 device_keys=("image_u8", "question", "answer_label")):
+                 device_keys=("image_u8", "question", "answer_label"),
+                 global_mesh=None):
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._sharding = sharding
         self._device_keys = device_keys
+        self._global_mesh = global_mesh
         self._thread = threading.Thread(
             target=self._run, args=(it,), daemon=True)
         self._thread.start()
+
+    def _put(self, v):
+        if self._global_mesh is not None:
+            from lctvqa.parallel.distributed import make_global_batch
+            return make_global_batch({"x": v}, self._global_mesh)["x"]
+        return jax.device_put(v, self._sharding)
 
     def _run(self, it):
         try:
@@ -175,7 +232,7 @@ class Prefetcher:
                 out = dict(batch)
                 for k in self._device_keys:
                     if k in out:
-                        out[k] = jax.device_put(out[k], self._sharding)
+                        out[k] = self._put(out[k])
                 self._q.put(out)
         except BaseException as exc:  # noqa: BLE001 — re-raised in consumer
             # A swallowed worker error would silently truncate the epoch;
@@ -197,10 +254,11 @@ class Prefetcher:
 
 
 def get_loader(input_dir: str, batch_size: int, train_portion: float = 1.0,
-               seed: int = 0) -> Dict[str, VqaH5Dataset]:
+               seed: int = 0,
+               preload: str = "auto") -> Dict[str, VqaH5Dataset]:
     """Loader-factory mirroring `data_loader_v2.get_loader` signature:
     returns the two datasets; iteration is via epoch_batches/Prefetcher."""
     return {
-        "train": VqaH5Dataset(input_dir, "train", train_portion),
-        "valid": VqaH5Dataset(input_dir, "val", train_portion),
+        "train": VqaH5Dataset(input_dir, "train", train_portion, preload),
+        "valid": VqaH5Dataset(input_dir, "val", train_portion, preload),
     }

@@ -36,12 +36,26 @@ def build_parser() -> argparse.ArgumentParser:
                         "(basic_vqa/data_factory.py:5-23)")
     p.add_argument("--img_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=10)
+    p.add_argument("--bn_eval_stats", action="store_true",
+                   help="track BN running stats in training and use them "
+                        "in validation (reference model.eval() numerics)")
+    p.add_argument("--preload_images", type=str, default="auto",
+                   choices=["auto", "ram", "lazy"],
+                   help="image residency: RAM, chunked h5 reads, or auto")
     # TPU-native extras
     p.add_argument("--architect_mode", type=str, default="exact",
                    choices=["exact", "fd"])
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host DP: jax.distributed.initialize() + "
+                        "global mesh over all processes' devices")
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0 (multihost; empty = "
+                        "TPU-pod autodetect)")
+    p.add_argument("--num_processes", type=int, default=0)
+    p.add_argument("--process_id", type=int, default=-1)
     p.add_argument("--vgg_weights", type=str, default="",
                    help="path to a torch vgg19 state_dict for pretrained "
                         "encoder init")
@@ -68,7 +82,8 @@ def config_from_args(args) -> Config:
                         pretrained_enc=not args.no_pretrain_enc,
                         img_size=args.img_size,
                         compute_dtype=args.compute_dtype,
-                        genotype=genotype)
+                        genotype=genotype,
+                        bn_eval_stats=args.bn_eval_stats)
     if args.tiny:
         model = dataclasses.replace(
             model, img_embed_size=16, word_embed_size=8,
@@ -89,8 +104,10 @@ def config_from_args(args) -> Config:
         report_freq=10 if args.arch_type == "darts" else 100)
     data = DataConfig(input_dir=args.input_dir,
                       num_workers=args.num_workers,
-                      use_old_dataloader=args.use_old_dataloader)
-    mesh = MeshConfig(num_devices=args.num_devices)
+                      use_old_dataloader=args.use_old_dataloader,
+                      preload_images=args.preload_images)
+    mesh = MeshConfig(num_devices=args.num_devices,
+                      multihost=args.multihost)
     return Config(model=model, train=train, data=data, mesh=mesh,
                   exp_name=args.exp, resume=args.resume)
 
@@ -98,6 +115,14 @@ def config_from_args(args) -> Config:
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+
+    if args.multihost:
+        # must run before any other jax API touches the backend
+        from lctvqa.parallel import distributed
+        distributed.initialize(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     # vocab sizes come from the dataset on disk
     from lctvqa.text import VocabDict

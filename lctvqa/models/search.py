@@ -208,25 +208,107 @@ def mixed_op_init(key, ch: int, stride: int, k: int):
             for prim, kk in zip(PRIMITIVES, keys)}
 
 
+def _op_prebn(p, prim: str, x, stride: int, dtype):
+    """The primitive WITHOUT its final affine-free BN (which _mixed_fold
+    folds into the alpha mixture). Inner BNs (sep_conv's bn1) stay.
+
+    All convs materialize at the compute dtype (out_dtype=dtype): the
+    search net is HBM-bound, so fp32 round-trips between back-to-back
+    convs are pure wasted bandwidth — BN statistics downstream accumulate
+    in fp32 regardless."""
+    od = dtype  # None -> fp32 (parity-test mode)
+    if prim == "avg_pool_3x3":
+        return C.avg_pool(x, 3, stride, 1, count_include_pad=False)
+    if prim == "max_pool_3x3":
+        return C.max_pool(x, 3, stride, 1)
+    if prim == "skip_connect":  # stride != 1 here (factorized reduce)
+        y = jnp.maximum(x, 0.0)
+        a = C.conv2d(p["conv1"], y, stride=2, dtype=dtype, out_dtype=od)
+        b = C.conv2d(p["conv2"], y[:, 1:, 1:, :], stride=2, dtype=dtype,
+                     out_dtype=od)
+        return jnp.concatenate([a, b], axis=-1)
+    if prim in ("sep_conv_3x3", "sep_conv_5x5", "sep_conv_7x7"):
+        k = int(prim[-1])
+        pad = k // 2
+        y = jnp.maximum(x, 0.0)
+        y = C.depthwise_conv2d(p["dw1"], y, stride=stride, padding=pad,
+                               dtype=dtype, out_dtype=od)
+        y = C.conv2d(p["pw1"], y, dtype=dtype, out_dtype=od)
+        y = C.batchnorm({}, y, out_dtype=dtype)   # inner bn1 (unfoldable)
+        y = jnp.maximum(y, 0.0)
+        y = C.depthwise_conv2d(p["dw2"], y, stride=1, padding=pad,
+                               dtype=dtype, out_dtype=od)
+        return C.conv2d(p["pw2"], y, dtype=dtype, out_dtype=od)
+    if prim in ("dil_conv_3x3", "dil_conv_5x5"):
+        k = int(prim[-1])
+        y = jnp.maximum(x, 0.0)
+        y = C.depthwise_conv2d(p["dw"], y, stride=stride, padding=k - 1,
+                               dilation=2, dtype=dtype, out_dtype=od)
+        return C.conv2d(p["pw"], y, dtype=dtype, out_dtype=od)
+    raise ValueError(f"no pre-BN form for {prim}")
+
+
+def _mixed_fold(p, x, weights, stride: int, dtype, eps: float = 1e-5):
+    """alpha-mixture with every op's FINAL affine-free BN folded in:
+
+        sum_o a_o * BN(y_o) = sum_o (a_o * r_o) * y_o - sum_o a_o r_o mu_o
+        with r_o = rsqrt(var_o + eps)
+
+    Numerically the same math reordered, but the 8 normalized intermediates
+    are never materialized: each y_o is read twice (stats + scaled sum)
+    instead of XLA's 3 reads + 1 full-size write per op — the BN traffic
+    the profile shows the search net is bound on (NOTES.md). Pure XLA, so
+    everything keeps fusing (no custom-call barriers).
+
+    'none' contributes an exact 0 (skipped); stride-1 skip_connect is the
+    raw identity (no BN in the reference either)."""
+    terms = []
+    bias = None
+    for i, prim in enumerate(PRIMITIVES):
+        a = weights[i].astype(jnp.float32)
+        if prim == "none":
+            continue
+        if prim == "skip_connect" and stride == 1:
+            terms.append(a * x.astype(jnp.float32))
+            continue
+        y = _op_prebn(p[prim], prim, x, stride, dtype)
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
+        coef = a * jax.lax.rsqrt(var + eps)           # [Cs]
+        terms.append(y32 * coef)
+        b = coef * mean
+        bias = b if bias is None else bias + b
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out - bias
+
+
 def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
-                   shuffle: bool = True):
+                   shuffle: bool = True, fold_bn: bool = False):
     """ops on the first C/k channels, weighted-summed; untouched 3/4
     concatenated (maxpool2x2'd if reduction); channel shuffle.
 
     shuffle=False defers the (shared) permutation to the caller: the cell
     sums beta-weighted edge outputs first and shuffles ONCE per node —
     exact because channel_shuffle is linear (saves E-1 relayout copies
-    per node)."""
+    per node). fold_bn=True routes through _mixed_fold (same math, final
+    BNs folded into the mixture coefficients)."""
     c = x.shape[-1]
     xtemp = x[..., : c // k]
     xtemp2 = x[..., c // k:]
-    # Stack the 8 op outputs and contract with the alpha weights in one go —
-    # XLA fuses this into the op epilogues instead of 8 separate AXPYs.
-    outs = jnp.stack([op_apply(p[prim], prim, xtemp, stride, dtype)
-                      for prim in PRIMITIVES])
     acc = jnp.float32 if dtype is None else dtype
-    temp1 = jnp.einsum("o,onhwc->nhwc", weights.astype(outs.dtype), outs,
-                       preferred_element_type=jnp.float32).astype(acc)
+    if fold_bn:
+        temp1 = _mixed_fold(p, xtemp, weights, stride, dtype).astype(acc)
+    else:
+        # Stack the 8 op outputs and contract with the alpha weights in one
+        # go — XLA fuses this into the op epilogues, not 8 separate AXPYs.
+        outs = jnp.stack([op_apply(p[prim], prim, xtemp, stride, dtype)
+                          for prim in PRIMITIVES])
+        temp1 = jnp.einsum("o,onhwc->nhwc", weights.astype(outs.dtype),
+                           outs,
+                           preferred_element_type=jnp.float32).astype(acc)
     if stride == 1:
         ans = jnp.concatenate([temp1, xtemp2.astype(acc)], axis=-1)
     else:
@@ -262,7 +344,7 @@ def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
 
 
 def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
-               reduction_prev, k, dtype):
+               reduction_prev, k, dtype, fold_bn: bool = False):
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
@@ -277,7 +359,7 @@ def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
             stride = 2 if reduction and j < 2 else 1
             y = betas[offset + j] * mixed_op_apply(
                 p["ops"][offset + j], h, alphas[offset + j], stride, k,
-                dtype, shuffle=False)
+                dtype, shuffle=False, fold_bn=fold_bn)
             s = y if s is None else s + y
         offset += len(states)
         # one shuffle per node instead of per edge (see mixed_op_apply)
@@ -359,13 +441,19 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     b_norm = beta_softmax(arch["betas_normal"], cfg.darts_steps)
     b_red = beta_softmax(arch["betas_reduce"], cfg.darts_steps)
 
+    # BN-folded mixture is the fast path; running-stats eval mode needs
+    # explicit per-op batchnorm calls (the capture/eval contexts), so it
+    # forces the unfolded form.
+    fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
+
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
         alphas, betas = ((w_red, b_red) if spec["reduction"]
                          else (w_norm, b_norm))
         s0, s1 = s1, cell_apply(
             cell_p, s0, s1, alphas, betas, cfg.darts_steps,
             cfg.darts_multiplier, spec["reduction"],
-            spec["reduction_prev"], cfg.darts_partial_k, dtype)
+            spec["reduction_prev"], cfg.darts_partial_k, dtype,
+            fold_bn=fold_bn)
     out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
     # flatten in NCHW element order for reference weight compatibility
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)

@@ -32,8 +32,14 @@ def torch_conv_init(key, kh, kw, c_in, c_out, groups: int = 1, bias: bool = Fals
 
 
 def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
-           dtype=None):
-    """NHWC conv. `padding` is symmetric int or ((ph0,ph1),(pw0,pw1))."""
+           dtype=None, out_dtype=None):
+    """NHWC conv. `padding` is symmetric int or ((ph0,ph1),(pw0,pw1)).
+
+    out_dtype: dtype the result is MATERIALIZED at (default fp32). The
+    bandwidth-bound search-net ops pass out_dtype=compute dtype so conv
+    chains never round-trip activations through fp32 HBM writes; the MXU
+    still accumulates in fp32 internally either way.
+    """
     w = params["w"]
     if dtype is not None:
         x = x.astype(dtype)
@@ -45,23 +51,24 @@ def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     # No preferred_element_type upcast: this JAX version's conv transpose
-    # rule rejects mixed (bf16 operand, f32 cotangent). The TPU MXU
-    # accumulates in fp32 internally regardless of the bf16 output dtype;
-    # results are upcast to fp32 right here.
+    # rule rejects mixed (bf16 operand, f32 cotangent).
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         rhs_dilation=dilation, dimension_numbers=DIMNUMS,
         feature_group_count=groups)
-    y = y.astype(jnp.float32)
+    out_dtype = jnp.float32 if out_dtype is None else out_dtype
+    y = y.astype(out_dtype)
     if "b" in params:
-        y = y + params["b"].astype(jnp.float32)
+        y = y + params["b"].astype(out_dtype)
     return y
 
 
-def depthwise_conv2d(params, x, stride=1, padding=0, dilation=1, dtype=None):
+def depthwise_conv2d(params, x, stride=1, padding=0, dilation=1, dtype=None,
+                     out_dtype=None):
     """Depthwise conv: kernel [kh, kw, 1, C] with feature_group_count=C."""
     c = x.shape[-1]
-    return conv2d(params, x, stride, padding, dilation, groups=c, dtype=dtype)
+    return conv2d(params, x, stride, padding, dilation, groups=c,
+                  dtype=dtype, out_dtype=out_dtype)
 
 
 def batchnorm_init(c: int, affine: bool = True):

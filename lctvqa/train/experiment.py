@@ -36,7 +36,7 @@ from lctvqa.optim.optimizers import set_learning_rate, step_lr
 from lctvqa.parallel import mesh as mesh_lib
 from lctvqa.train import checkpoint, stats
 from lctvqa.train.metrics import VqaStruct, calc_bleu_scores
-from lctvqa.train.steps import make_lct_steps
+from lctvqa.train.steps import make_lct_steps, make_packed_lct_steps
 from lctvqa.train.timing import StageTimer, trace
 
 _DEVICE_KEYS = ("image_u8", "question", "answer_label",
@@ -75,15 +75,21 @@ class Experiment:
         else:
             self.data = pipeline.get_loader(cfg.data.input_dir,
                                             cfg.train.batch_size,
-                                            cfg.train.train_portion)
+                                            cfg.train.train_portion,
+                                            preload=cfg.data.preload_images)
         self.qst_vocab = self.data["train"].qst_vocab
         self.ans_vocab = self.data["train"].ans_vocab
         self.vqa_struct = VqaStruct(cfg.data.input_dir,
                                     data_file="valid.npy")
 
-        # mesh (DP)
-        self.mesh = (mesh_lib.make_mesh(cfg.mesh.num_devices)
-                     if use_mesh else None)
+        # mesh (DP): local-device mesh, or a global mesh over every
+        # process's devices in multi-host mode
+        if cfg.mesh.multihost:
+            from lctvqa.parallel import distributed
+            self.mesh = distributed.global_mesh(cfg.mesh.data_axis)
+        else:
+            self.mesh = (mesh_lib.make_mesh(cfg.mesh.num_devices)
+                         if use_mesh else None)
         self.batch_sharding = (mesh_lib.batch_sharding(self.mesh)
                                if self.mesh else None)
 
@@ -98,6 +104,10 @@ class Experiment:
         self.w_opt = self.steps["w_tx"].init(self.w_params)
         self.arch_opt = (self.steps["arch_tx"].init(self.arch)
                          if self.arch is not None else None)
+        self.packed = (make_packed_lct_steps(
+            self.steps, self.ef_params, self.ef_opt, self.w_params,
+            self.w_opt, cfg.model.bn_eval_stats)
+            if cfg.train.packed_dispatch else None)
         if self.mesh is not None:
             # pin replicated shardings NOW: jit outputs carry mesh shardings,
             # so unsharded inputs on the first call would force one
@@ -181,11 +191,15 @@ class Experiment:
         if self.cfg.data.use_old_dataloader:
             return self.data[split].batches(self.cfg.train.batch_size,
                                             self.np_rng, shuffle=shuffle)
+        pi, pc = 0, 1
+        if self.cfg.mesh.multihost:
+            pi, pc = jax.process_index(), jax.process_count()
         return pipeline.epoch_batches(self.data[split],
                                       self.cfg.train.batch_size,
                                       self.np_rng, shuffle=shuffle,
                                       max_num_ans=self.cfg.data.max_num_ans,
-                                      num_workers=self.cfg.data.num_workers)
+                                      num_workers=self.cfg.data.num_workers,
+                                      process_index=pi, process_count=pc)
 
     def _batches(self, split: str, shuffle=True):
         return pipeline.Prefetcher(
@@ -193,7 +207,25 @@ class Experiment:
             sharding=self.batch_sharding,
             depth=self.cfg.data.prefetch,
             device_keys=("image_u8", "question", "answer_label",
-                         "answer_multi_choice"))
+                         "answer_multi_choice"),
+            global_mesh=self.mesh if self.cfg.mesh.multihost else None)
+
+    def _put_batch(self, batch: dict) -> dict:
+        """Device placement for a batch fed outside the Prefetcher."""
+        if self.cfg.mesh.multihost:
+            from lctvqa.parallel import distributed
+            return distributed.make_global_batch(batch, self.mesh)
+        return mesh_lib.shard_batch(batch, self.mesh)
+
+    def _host_rows(self, arr) -> np.ndarray:
+        """Rows of a (possibly global) batch-axis array owned by THIS host,
+        in batch order — the rows this process fed, for host-side metrics
+        (BLEU, logging). Single-host: the whole array."""
+        if not self.cfg.mesh.multihost:
+            return np.asarray(arr)
+        shards = sorted(arr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
 
     # ------------------------------------------------------------------
     def run(self):
@@ -236,33 +268,56 @@ class Experiment:
         do_stage3 = (self.arch is not None and not t.skip_stage3)
         last_batch = None
 
+        # packed-dispatch fast path: params/opt state travel as a few 1D
+        # buffers for the whole epoch (one jitted pack/unpack at the
+        # boundaries; see ops/packing.py)
+        pk = self.packed
+        if pk is not None:
+            ef_st, efo_st, w_st, wo_st = pk["pack_state"](
+                self.ef_params, self.ef_opt, self.w_params, self.w_opt)
+
         for batch_idx, batch in enumerate(self._batches("train")):
             last_batch = batch
             if do_stage3 and batch_idx % self.arch_update_freq == 0:
                 with self.timer.stage("stage3"):
-                    val_batch = mesh_lib.shard_batch(
-                        _dev_batch(next(valid_iter)), self.mesh)
-                    self.arch, self.arch_opt, s3_loss = self.steps[
-                        "stage3"](self.arch, self.arch_opt, self.ef_params,
-                                  self.w_params, _dev_batch(batch),
-                                  val_batch,
-                                  jnp.float32(ef_lr), jnp.float32(w_lr),
-                                  self._next_rng())
+                    val_batch = self._put_batch(
+                        _dev_batch(next(valid_iter)))
+                    s3_args = (self.arch, self.arch_opt)
+                    if pk is not None:
+                        self.arch, self.arch_opt, s3_loss = pk["stage3"](
+                            *s3_args, ef_st, w_st, _dev_batch(batch),
+                            val_batch, jnp.float32(ef_lr),
+                            jnp.float32(w_lr), self._next_rng())
+                    else:
+                        self.arch, self.arch_opt, s3_loss = self.steps[
+                            "stage3"](*s3_args, self.ef_params,
+                                      self.w_params, _dev_batch(batch),
+                                      val_batch, jnp.float32(ef_lr),
+                                      jnp.float32(w_lr), self._next_rng())
                     s3_loss = float(s3_loss)
                 self.log(f"| TRAIN SET | STAGE3 | W'-Val-Loss: "
                          f"{s3_loss:.4f}")
 
             with self.timer.stage("stage1"):
-                out = self.steps["stage1"](self.ef_params, self.arch,
-                                           self.ef_opt, _dev_batch(batch),
-                                           self._next_rng())
+                if pk is not None:
+                    out = pk["stage1"](ef_st, self.arch, efo_st,
+                                       _dev_batch(batch), self._next_rng())
+                    if self.cfg.model.bn_eval_stats:
+                        ef_st, efo_st, loss, c1, c2, bn_stats = out
+                    else:
+                        ef_st, efo_st, loss, c1, c2 = out
+                else:
+                    out = self.steps["stage1"](
+                        self.ef_params, self.arch, self.ef_opt,
+                        _dev_batch(batch), self._next_rng())
+                    if self.cfg.model.bn_eval_stats:
+                        (self.ef_params, self.ef_opt, loss, c1, c2,
+                         bn_stats) = out
+                    else:
+                        self.ef_params, self.ef_opt, loss, c1, c2 = out
                 if self.cfg.model.bn_eval_stats:
-                    (self.ef_params, self.ef_opt, loss, c1, c2,
-                     bn_stats) = out
                     self.bn_running = self.steps["bn_update"](
                         self.bn_running, bn_stats)
-                else:
-                    self.ef_params, self.ef_opt, loss, c1, c2 = out
             ef_losses.append(loss)
             ef_c1s.append(c1)
             ef_c2s.append(c2)
@@ -275,10 +330,15 @@ class Experiment:
 
             if not t.skip_stage2:
                 with self.timer.stage("stage2"):
-                    self.w_params, self.w_opt, loss2, wc = self.steps[
-                        "stage2"](self.w_params, self.w_opt,
-                                  self.ef_params, self.arch,
-                                  _dev_batch(batch), self._next_rng())
+                    if pk is not None:
+                        w_st, wo_st, loss2, wc = pk["stage2"](
+                            w_st, wo_st, ef_st, self.arch,
+                            _dev_batch(batch), self._next_rng())
+                    else:
+                        self.w_params, self.w_opt, loss2, wc = self.steps[
+                            "stage2"](self.w_params, self.w_opt,
+                                      self.ef_params, self.arch,
+                                      _dev_batch(batch), self._next_rng())
                 w_losses.append(loss2)
                 w_corrs.append(wc)
                 if batch_idx % t.report_freq == 0:
@@ -287,6 +347,10 @@ class Experiment:
                         f"[{self.current_epoch + 1:02d}/{self.epochs:02d}],"
                         f" Step [{batch_idx:04d}/{batch_step_size:04d}], "
                         f"W-Loss: {float(loss2):.4f}")
+
+        if pk is not None:
+            (self.ef_params, self.ef_opt, self.w_params,
+             self.w_opt) = pk["unpack_state"](ef_st, efo_st, w_st, wo_st)
 
         ef_loss = float(jnp.sum(jnp.stack(ef_losses)))
         ef_corr1 = int(jnp.sum(jnp.stack(ef_c1s)))
@@ -322,10 +386,10 @@ class Experiment:
     def evaluate_gen_qst(self, batch):
         """Log ground-truth vs generated QA pairs (experiment.py:149-172)."""
         _, _, _, gen_qst, gen_ans = self._eval_step(batch)
-        gen_qst = np.asarray(gen_qst)
-        gen_pred = np.asarray(jnp.argmax(gen_ans, 1))
-        qsts = np.asarray(batch["question"])
-        labels = np.asarray(batch["answer_label"])
+        gen_qst = self._host_rows(gen_qst)
+        gen_pred = self._host_rows(jnp.argmax(gen_ans, 1))
+        qsts = self._host_rows(batch["question"])
+        labels = self._host_rows(batch["answer_label"])
         n = min(4, len(gen_qst))
         self.log("Evaluating question answer pairs")
         for i in range(n):
@@ -354,11 +418,13 @@ class Experiment:
             running_loss += float(loss)
             corr1 += int(c1)
             corr2 += int(c2)
+            # index stays host-local; gen_qst may be a global array — take
+            # this host's rows (all rows when single-host)
             names = dataset.image_names(np.asarray(batch["index"]))
             bleu_futures.append(bleu_pool.submit(
                 lambda nm, gq: calc_bleu_scores(
-                    nm, np.asarray(gq), self.qst_vocab, self.vqa_struct),
-                names, gen_qst))
+                    nm, gq, self.qst_vocab, self.vqa_struct),
+                names, self._host_rows(gen_qst)))
             if batch_idx % 100 == 0:
                 self.log(
                     f"| VALID SET | Epoch [{self.current_epoch + 1:02d}/"

@@ -176,3 +176,53 @@ def make_lct_steps(cfg: Config, unk_idx: int):
         "w_tx": w_tx,
         "arch_tx": arch_tx,
     }
+
+
+def make_packed_lct_steps(steps: dict, ef_params, ef_opt, w_params, w_opt,
+                          bn_eval_stats: bool = False) -> dict:
+    """Packed-buffer variants of the three train stages (ops/packing.py).
+
+    The darts-family pytrees are O(1000) leaves; per-call dispatch cost
+    grows with the argument-buffer count (NOTES.md: ~20 ms/call through
+    the TPU tunnel). These wrappers carry ef/w params+opt state as a few
+    packed 1D buffers (donated in place), with unpack/re-pack inside jit
+    where they are free layout ops. Same math — the wrapped fns ARE the
+    stage fns.
+    """
+    from lctvqa.ops.packing import Packer, pack_step
+
+    p_ef, p_efo = Packer(ef_params), Packer(ef_opt)
+    p_w, p_wo = Packer(w_params), Packer(w_opt)
+
+    def s1(ef_p, arch, ef_o, batch, rng):
+        return steps["stage1"](ef_p, arch, ef_o, batch, rng)
+
+    s1_outs = (p_ef, p_efo, None, None, None)
+    if bn_eval_stats:
+        s1_outs = s1_outs + (None,)
+    stage1 = pack_step(s1, (p_ef, None, p_efo, None, None), s1_outs)
+
+    def s2(w_p, w_o, ef_p, arch, batch, rng):
+        return steps["stage2"](w_p, w_o, ef_p, arch, batch, rng)
+
+    stage2 = pack_step(s2, (p_w, p_wo, p_ef, None, None, None),
+                       (p_w, p_wo, None, None))
+
+    def s3(arch, arch_opt, ef_p, w_p, tb, vb, ef_lr, w_lr, rng):
+        return steps["stage3"](arch, arch_opt, ef_p, w_p, tb, vb,
+                               ef_lr, w_lr, rng)
+
+    stage3 = pack_step(
+        s3, (None, None, p_ef, p_w, None, None, None, None, None),
+        (None, None, None))
+
+    # state conversion as ONE jitted dispatch each (eager pack/unpack would
+    # be ~1600 individual slice/concat dispatches)
+    pack_state = jax.jit(lambda ef, efo, w, wo: (
+        p_ef.pack(ef), p_efo.pack(efo), p_w.pack(w), p_wo.pack(wo)))
+    unpack_state = jax.jit(lambda a, b, c, d: (
+        p_ef.unpack(a), p_efo.unpack(b), p_w.unpack(c), p_wo.unpack(d)))
+
+    return {"stage1": stage1, "stage2": stage2, "stage3": stage3,
+            "pack_state": pack_state, "unpack_state": unpack_state,
+            "p_ef": p_ef, "p_efo": p_efo, "p_w": p_w, "p_wo": p_wo}

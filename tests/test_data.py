@@ -127,6 +127,22 @@ def test_prefetcher_propagates_worker_errors(synth_dir):
         list(pf)
 
 
+def test_lazy_h5_preload_matches_ram(synth_dir):
+    """preload='lazy' (chunked h5 reads; the 224px-scale path, VERDICT r1
+    weak #7) yields byte-identical batches to the RAM-resident path."""
+    ram = pipeline.VqaH5Dataset(synth_dir, "train", preload="ram")
+    lazy = pipeline.VqaH5Dataset(synth_dir, "train", preload="lazy")
+    assert isinstance(ram.images, np.ndarray)
+    assert not isinstance(lazy.images, np.ndarray)
+    idx = np.array([5, 3, 3, 20, 0, 11], np.int32)  # dup + unsorted
+    b_ram = ram.gather(idx, np.random.default_rng(7))
+    b_lazy = lazy.gather(idx, np.random.default_rng(7))
+    np.testing.assert_array_equal(b_ram["image_u8"], b_lazy["image_u8"])
+    np.testing.assert_array_equal(b_ram["question"], b_lazy["question"])
+    np.testing.assert_array_equal(b_ram["answer_label"],
+                                  b_lazy["answer_label"])
+
+
 def test_gather_num_workers_parity(synth_dir):
     """Threaded native gather returns the same batch as single-threaded."""
     train = pipeline.VqaH5Dataset(synth_dir, "train")

@@ -69,6 +69,44 @@ def test_mixed_op_weighted_sum_linearity():
                                np.asarray(x[..., : ch // k]), rtol=1e-6)
 
 
+def test_fold_bn_mixture_matches_unfolded():
+    """_mixed_fold is the same math reordered: folded network output must
+    equal the explicit per-op-BN path to fp32 tolerance, and so must the
+    gradients w.r.t. weights AND arch params."""
+    cfg = _cfg(darts_init_ch=4, darts_layers=2, img_size=16)
+    folded = dataclasses.replace(cfg, fold_bn_mixture=True)
+    unfolded = dataclasses.replace(cfg, fold_bn_mixture=False)
+    key = jax.random.PRNGKey(4)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+
+    f1 = jax.jit(lambda p, a: search.network_apply(p, a, folded, x))
+    f2 = jax.jit(lambda p, a: search.network_apply(p, a, unfolded, x))
+    y1, y2 = f1(params, arch), f2(params, arch)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        return lambda p, a: jnp.sum(fn(p, a) ** 2)
+
+    g1p, g1a = jax.jit(jax.grad(loss(
+        lambda p, a: search.network_apply(p, a, folded, x)),
+        argnums=(0, 1)))(params, arch)
+    g2p, g2a = jax.jit(jax.grad(loss(
+        lambda p, a: search.network_apply(p, a, unfolded, x)),
+        argnums=(0, 1)))(params, arch)
+    # fp32 reduction reordering (mean/var computed once vs inside each
+    # BN) shifts a few small-magnitude grad elements by ~1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(g1p),
+                    jax.tree_util.tree_leaves(g2p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(g1a[k]), np.asarray(g2a[k]),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_genotype_decode_prefers_heavy_alpha():
     cfg = _cfg(darts_steps=4)
     key = jax.random.PRNGKey(2)
