@@ -50,9 +50,11 @@ class ModelConfig:
     # cell off-TPU.
     use_pallas_lstm: bool = True
     # Edge-batched mixed-op execution (models/search_fused.py): same math,
-    # fewer/wider launches. Profiling on v5e showed the DARTS nets are
-    # BN-bandwidth-bound, not launch-bound, and the fused path's stacked
-    # intermediates cost more than the launches they save — default off.
+    # fewer/wider launches. Measured on v5e at reference dims: loses in
+    # every variant (fwd+bwd 75.5 ms vs 46.8 ms for the default unfused
+    # BN-folded path; 151 ms unfolded) — the stacked-edge concats are
+    # relayout copies and the E-stacked intermediates defeat XLA's
+    # epilogue fusion. Default off; kept as the parity-tested record.
     fuse_mixed_ops: bool = False
     # Track BN running statistics during stage-1 training and use them in
     # validation, reproducing the reference's model.eval() numerics
@@ -65,6 +67,14 @@ class ModelConfig:
     # HBM traffic the search net is bound on. Forced off when
     # bn_eval_stats is on (that mode needs explicit batchnorm calls).
     fold_bn_mixture: bool = True
+    # Rematerialize each DARTS cell in the backward pass (jax.checkpoint):
+    # residuals per cell shrink to its two input states. Measured on v5e at
+    # reference dims (scripts/microbench_darts.py): fwd+bwd 46.8 -> 68.6 ms
+    # — a NET LOSS, because the recomputation is itself HBM-bandwidth-bound
+    # (the BN reductions run twice), so it costs a second forward without
+    # saving enough residual traffic. Default OFF; turn on only when HBM
+    # capacity forces it (e.g. 224px images at large batch).
+    remat_cells: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

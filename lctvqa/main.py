@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--architect_mode", type=str, default="exact",
                    choices=["exact", "fd"])
+    p.add_argument("--fuse_mixed_ops", action="store_true",
+                   help="edge-batched mixed-op execution "
+                        "(models/search_fused.py)")
+    p.add_argument("--no_fold_bn", action="store_true",
+                   help="explicit per-op BN instead of the folded mixture")
+    p.add_argument("--remat_cells", action="store_true",
+                   help="rematerialize DARTS cells in the bwd pass "
+                        "(memory over speed; see config.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
@@ -83,7 +91,10 @@ def config_from_args(args) -> Config:
                         img_size=args.img_size,
                         compute_dtype=args.compute_dtype,
                         genotype=genotype,
-                        bn_eval_stats=args.bn_eval_stats)
+                        bn_eval_stats=args.bn_eval_stats,
+                        fuse_mixed_ops=args.fuse_mixed_ops,
+                        fold_bn_mixture=not args.no_fold_bn,
+                        remat_cells=args.remat_cells)
     if args.tiny:
         model = dataclasses.replace(
             model, img_embed_size=16, word_embed_size=8,

@@ -122,10 +122,20 @@ def derived_network_apply(p, cfg: ModelConfig, genotype: Genotype, x,
                           dtype=None):
     s = C.conv2d(p["stem_conv"], x, stride=1, padding=1, dtype=dtype)
     s0 = s1 = C.batchnorm(p["stem_bn"], s)
+    # per-cell remat as in search.network_apply (HBM-bound bwd); disabled
+    # under the ambient BN capture/eval contexts (re-trace would
+    # double-consume them)
+    remat = cfg.remat_cells and not cfg.bn_eval_stats
     for cell_p, spec in zip(p["cells"], derived_cell_schedule(cfg, genotype)):
-        s0, s1 = s1, derived_cell_apply(
-            cell_p, s0, s1, genotype, spec["reduction"],
-            spec["reduction_prev"], dtype)
+
+        def _cell(cp, t0, t1, _spec=spec):
+            return derived_cell_apply(cp, t0, t1, genotype,
+                                      _spec["reduction"],
+                                      _spec["reduction_prev"], dtype)
+
+        if remat:
+            _cell = jax.checkpoint(_cell)
+        s0, s1 = s1, _cell(cell_p, s0, s1)
     out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
     return out

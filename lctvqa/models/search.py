@@ -443,17 +443,25 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
 
     # BN-folded mixture is the fast path; running-stats eval mode needs
     # explicit per-op batchnorm calls (the capture/eval contexts), so it
-    # forces the unfolded form.
+    # forces the unfolded form. The BN capture/eval contexts are ambient
+    # (trace-time) state, so remat's re-trace would double-consume them —
+    # disable remat there too.
     fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
+    remat = cfg.remat_cells and not cfg.bn_eval_stats
 
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
         alphas, betas = ((w_red, b_red) if spec["reduction"]
                          else (w_norm, b_norm))
-        s0, s1 = s1, cell_apply(
-            cell_p, s0, s1, alphas, betas, cfg.darts_steps,
-            cfg.darts_multiplier, spec["reduction"],
-            spec["reduction_prev"], cfg.darts_partial_k, dtype,
-            fold_bn=fold_bn)
+
+        def _cell(cp, a, b, t0, t1, _spec=spec):
+            return cell_apply(
+                cp, t0, t1, a, b, cfg.darts_steps, cfg.darts_multiplier,
+                _spec["reduction"], _spec["reduction_prev"],
+                cfg.darts_partial_k, dtype, fold_bn=fold_bn)
+
+        if remat:
+            _cell = jax.checkpoint(_cell)
+        s0, s1 = s1, _cell(cell_p, alphas, betas, s0, s1)
     out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
     # flatten in NCHW element order for reference weight compatibility
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)

@@ -118,6 +118,119 @@ def _fact_reduce_batch(op_params, xs, e, cs, dtype):
     return C.batchnorm({}, out)
 
 
+def _fact_reduce_batch_prebn(op_params, xs, e, cs, dtype):
+    """_fact_reduce_batch without the final affine-free BN (folded by the
+    caller). Per-edge output channel order is [conv1_out || conv2_out],
+    matching operations.py:90-104."""
+    y = jnp.maximum(xs, 0.0)
+    w1 = _stack_pw(op_params, "conv1")
+    w2 = _stack_pw(op_params, "conv2")
+    a = _pointwise_edges(y[:, ::2, ::2, :], w1, e, cs, dtype)
+    b = _pointwise_edges(y[:, 1::2, 1::2, :], w2, e, cs, dtype)
+    bsz, hh, ww, _ = a.shape
+    a = a.reshape(bsz, hh, ww, e, cs // 2)
+    b = b.reshape(bsz, hh, ww, e, cs // 2)
+    return jnp.concatenate([a, b], axis=-1).reshape(bsz, hh, ww, e * cs)
+
+
+def _op_batch_prebn(prim, op_params, xs, stride, e, cs, dtype):
+    """One primitive over all E edges stacked on channels, WITHOUT its
+    final affine-free BN (the caller folds it into the mixture weights).
+    Inner BNs (sep_conv's bn1) stay — they are not final."""
+    if prim == "avg_pool_3x3":
+        return C.avg_pool(xs, 3, stride, 1, count_include_pad=False)
+    if prim == "max_pool_3x3":
+        return C.max_pool(xs, 3, stride, 1)
+    if prim == "skip_connect":  # stride != 1 here
+        return _fact_reduce_batch_prebn(op_params, xs, e, cs, dtype)
+    if prim in ("sep_conv_3x3", "sep_conv_5x5", "sep_conv_7x7"):
+        kk = int(prim[-1])
+        pad = kk // 2
+        y = jnp.maximum(xs, 0.0)
+        y = _depthwise_stacked(y, _stack_dw(op_params, "dw1"),
+                               stride=stride, padding=pad, dtype=dtype)
+        y = _pointwise_edges(y, _stack_pw(op_params, "pw1"), e, cs, dtype)
+        y = C.batchnorm({}, y, out_dtype=dtype)  # inner bn1 (unfoldable)
+        y = jnp.maximum(y, 0.0)
+        y = _depthwise_stacked(y, _stack_dw(op_params, "dw2"), stride=1,
+                               padding=pad, dtype=dtype)
+        return _pointwise_edges(y, _stack_pw(op_params, "pw2"), e, cs,
+                                dtype)
+    if prim in ("dil_conv_3x3", "dil_conv_5x5"):
+        kk = int(prim[-1])
+        y = jnp.maximum(xs, 0.0)
+        y = _depthwise_stacked(y, _stack_dw(op_params, "dw"), stride=stride,
+                               padding=kk - 1, dilation=2, dtype=dtype)
+        return _pointwise_edges(y, _stack_pw(op_params, "pw"), e, cs, dtype)
+    raise ValueError(f"no pre-BN batched form for {prim}")
+
+
+def _edge_group_fold(mixed_params: Sequence[dict],
+                     states: Sequence[jax.Array], alphas, betas,
+                     stride: int, k: int, dtype, eps: float = 1e-5):
+    """Edge-batched mixture with BN folding AND the beta edge-sum folded in.
+
+    Uses three linearities at once (all exact reorderings):
+      - each op's final affine-free BN folds into its mixture coefficient
+        (search._mixed_fold): sum_o a_o BN(y_o) = sum_o (a_o r_o) y_o - bias;
+      - the per-edge beta weight folds into the same coefficient:
+        sum_e b_e sum_o a_eo BN(y_eo) = sum_o sum_e (b_e a_eo r_eo) y_eo - ...;
+      - channel_shuffle is a fixed permutation shared by all edges, so it
+        commutes with the beta sum and runs ONCE per node:
+        sum_e b_e shuffle(concat(mix_e, rest_e))
+          = shuffle(concat(sum_e b_e mix_e, sum_e b_e rest_e)).
+
+    Each of the 8 primitives therefore executes ONCE per node group on the
+    E-edge stacked channels, none of the 8 normalized intermediates is
+    materialized, and the node does one shuffle. This is the "single
+    batched weighted-op kernel with the architecture-weight softmax fused
+    in" (BASELINE.json north star) expressed so XLA keeps fusing.
+    """
+    e = len(states)
+    c = states[0].shape[-1]
+    cs = c // k
+    xs = jnp.concatenate([s[..., :cs] for s in states], axis=-1)
+    # combined per-(edge, op) weight: beta_e * alpha_eo
+    w_eo = (alphas.astype(jnp.float32)
+            * betas.astype(jnp.float32)[:, None])          # [E, 8]
+    acc = None
+    bias = None
+    for i, prim in enumerate(PRIMITIVES):
+        w_e = jnp.repeat(w_eo[:, i], cs)                   # [E*Cs]
+        if prim == "none":
+            continue
+        if prim == "skip_connect" and stride == 1:
+            term = xs.astype(jnp.float32) * w_e            # identity, no BN
+            acc = term if acc is None else acc + term
+            continue
+        y = _op_batch_prebn(prim, [mp[prim] for mp in mixed_params], xs,
+                            stride, e, cs, dtype)
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
+        coef = w_e * jax.lax.rsqrt(var + eps)              # [E*Cs]
+        acc = y32 * coef if acc is None else acc + y32 * coef
+        b = coef * mean
+        bias = b if bias is None else bias + b
+    mix = acc - bias
+    bsz, hh, ww, _ = mix.shape
+    mix = mix.reshape(bsz, hh, ww, e, cs).sum(axis=3)      # beta edge-sum
+    # untouched channels: beta-weighted sum over edges
+    rest = jnp.stack([s[..., cs:] for s in states], axis=3)  # [B,H,W,E,C-Cs]
+    if stride != 1:
+        r = rest.shape
+        rest = C.max_pool(rest.reshape(r[0], r[1], r[2], -1), 2, 2)
+        rest = rest.reshape(rest.shape[0], rest.shape[1], rest.shape[2],
+                            e, c - cs)
+    restw = jnp.einsum("e,bhwec->bhwc", betas.astype(jnp.float32),
+                       rest.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    ans = jnp.concatenate([mix, restw], axis=-1)           # [B,H',W',C]
+    # one shuffle per node group (the permutation commutes with the sums)
+    ans = ans.reshape(*ans.shape[:-1], k, c // k)
+    return jnp.swapaxes(ans, -1, -2).reshape(*ans.shape[:-2], c)
+
+
 def _op_batch(prim, op_params, xs, stride, e, cs, dtype):
     """One primitive over all E edges stacked on channels."""
     if prim == "none":
@@ -183,14 +296,17 @@ def _edge_group(mixed_params: Sequence[dict], states: Sequence[jax.Array],
 
 
 def cell_apply_fused(p, s0, s1, alphas, betas, steps, multiplier, reduction,
-                     reduction_prev, k, dtype):
-    """Drop-in replacement for search.cell_apply (same params/semantics)."""
+                     reduction_prev, k, dtype, fold_bn: bool = False):
+    """Drop-in replacement for search.cell_apply (same params/semantics).
+    fold_bn=True routes through _edge_group_fold (BN + beta folded into the
+    mixture coefficients — the fast path)."""
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
         s0 = relu_conv_bn_apply(p["pre0"], s0, dtype)
     s1 = relu_conv_bn_apply(p["pre1"], s1, dtype)
 
+    group_fn = _edge_group_fold if fold_bn else _edge_group
     states = [s0, s1]
     offset = 0
     for i in range(steps):
@@ -201,7 +317,7 @@ def cell_apply_fused(p, s0, s1, alphas, betas, steps, multiplier, reduction,
             stride = 2 if reduction and j < 2 else 1
             groups.setdefault(stride, []).append(j)
         for stride, idxs in groups.items():
-            contributions.append(_edge_group(
+            contributions.append(group_fn(
                 [p["ops"][offset + j] for j in idxs],
                 [states[j] for j in idxs],
                 alphas[jnp.asarray([offset + j for j in idxs])],
@@ -222,12 +338,13 @@ def network_apply_fused(p, arch, cfg: ModelConfig, x, dtype=None):
     b_norm = beta_softmax(arch["betas_normal"], cfg.darts_steps)
     b_red = beta_softmax(arch["betas_reduce"], cfg.darts_steps)
 
+    fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
         al, be = (w_red, b_red) if spec["reduction"] else (w_norm, b_norm)
         s0, s1 = s1, cell_apply_fused(
             cell_p, s0, s1, al, be, cfg.darts_steps, cfg.darts_multiplier,
             spec["reduction"], spec["reduction_prev"], cfg.darts_partial_k,
-            dtype)
+            dtype, fold_bn=fold_bn)
     out = C.adaptive_avg_pool(s1, OUTPUT_SIZE)
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
     return out

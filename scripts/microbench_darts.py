@@ -46,26 +46,52 @@ def main():
         sync(out)
         return (time.perf_counter() - t0) / iters * 1e3  # ms
 
-    for dt in ("float32", "bfloat16"):
-        for fold in (False, True):
-            cfg = dataclasses.replace(base, compute_dtype=dt,
-                                      fold_bn_mixture=fold)
-            dtype = jnp.dtype(dt)
+    import sys
+    all_variants = [
+        ("float32_plain", dict(compute_dtype="float32",
+                               fold_bn_mixture=False, remat_cells=False)),
+        ("float32_fold", dict(compute_dtype="float32",
+                              fold_bn_mixture=True, remat_cells=False)),
+        ("bfloat16_plain", dict(compute_dtype="bfloat16",
+                                fold_bn_mixture=False, remat_cells=False)),
+        ("bfloat16_fold", dict(compute_dtype="bfloat16",
+                               fold_bn_mixture=True, remat_cells=False)),
+        ("bfloat16_fold_remat", dict(compute_dtype="bfloat16",
+                                     fold_bn_mixture=True,
+                                     remat_cells=True)),
+        ("bfloat16_plain_remat", dict(compute_dtype="bfloat16",
+                                      fold_bn_mixture=False,
+                                      remat_cells=True)),
+        ("bfloat16_fused_fold", dict(compute_dtype="bfloat16",
+                                     fold_bn_mixture=True,
+                                     fuse_mixed_ops=True)),
+        ("bfloat16_fused_plain", dict(compute_dtype="bfloat16",
+                                      fold_bn_mixture=False,
+                                      fuse_mixed_ops=True)),
+    ]
+    # optional variant-name filters on argv
+    sel = sys.argv[1:]
+    variants = ([v for v in all_variants if any(s in v[0] for s in sel)]
+                if sel else all_variants)
+    from lctvqa.models import search_fused
+    for tag, over in variants:
+        cfg = dataclasses.replace(base, **over)
+        dtype = jnp.dtype(cfg.compute_dtype)
+        apply_fn = (search_fused.network_apply_fused if cfg.fuse_mixed_ops
+                    else search.network_apply)
 
-            fwd = jax.jit(lambda p, a: search.network_apply(
-                p, a, cfg, x, dtype=dtype))
+        fwd = jax.jit(lambda p, a, f=apply_fn, c=cfg, d=dtype:
+                      f(p, a, c, x, dtype=d))
 
-            def loss(p, a):
-                return jnp.sum(search.network_apply(p, a, cfg, x,
-                                                    dtype=dtype) ** 2)
+        def loss(p, a, f=apply_fn, c=cfg, d=dtype):
+            return jnp.sum(f(p, a, c, x, dtype=d) ** 2)
 
-            bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
-            tag = f"{dt}_{'fold' if fold else 'plain'}"
-            results[f"fwd_ms_{tag}"] = round(bench(fwd, params, arch), 3)
-            results[f"fwdbwd_ms_{tag}"] = round(
-                bench(bwd, params, arch, iters=10), 3)
-            print(tag, results[f"fwd_ms_{tag}"],
-                  results[f"fwdbwd_ms_{tag}"], flush=True)
+        bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        results[f"fwd_ms_{tag}"] = round(bench(fwd, params, arch), 3)
+        results[f"fwdbwd_ms_{tag}"] = round(
+            bench(bwd, params, arch, iters=10), 3)
+        print(tag, results[f"fwd_ms_{tag}"],
+              results[f"fwdbwd_ms_{tag}"], flush=True)
 
     print(json.dumps(results))
 

@@ -107,6 +107,42 @@ def test_fold_bn_mixture_matches_unfolded():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_remat_cells_matches_no_remat():
+    """jax.checkpoint re-runs the identical cell computation in the bwd
+    pass, so outputs and gradients must match the non-remat path to fp32
+    tolerance (the remat is a pure scheduling change)."""
+    cfg = _cfg(darts_init_ch=4, darts_layers=2, img_size=16)
+    remat = dataclasses.replace(cfg, remat_cells=True)
+    plain = dataclasses.replace(cfg, remat_cells=False)
+    key = jax.random.PRNGKey(5)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+
+    y1 = jax.jit(lambda p, a: search.network_apply(p, a, remat, x))(
+        params, arch)
+    y2 = jax.jit(lambda p, a: search.network_apply(p, a, plain, x))(
+        params, arch)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(c):
+        return lambda p, a: jnp.sum(search.network_apply(p, a, c, x) ** 2)
+
+    g1p, g1a = jax.jit(jax.grad(loss(remat), argnums=(0, 1)))(params, arch)
+    g2p, g2a = jax.jit(jax.grad(loss(plain), argnums=(0, 1)))(params, arch)
+    # remat re-runs the same math but XLA may reassociate reductions in the
+    # recomputation — per-element agreement to ~1e-4 relative
+    for a, b in zip(jax.tree_util.tree_leaves(g1p),
+                    jax.tree_util.tree_leaves(g2p)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-4,
+                                   atol=1e-4 * max(1.0, np.abs(a).max()))
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(g1a[k]), np.asarray(g2a[k]),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_genotype_decode_prefers_heavy_alpha():
     cfg = _cfg(darts_steps=4)
     key = jax.random.PRNGKey(2)
