@@ -67,6 +67,17 @@ class ModelConfig:
     # HBM traffic the search net is bound on. Forced off when
     # bn_eval_stats is on (that mode needs explicit batchnorm calls).
     fold_bn_mixture: bool = True
+    # Run the four depthwise-separable mixed-op branches (sep3/5, dil3/5)
+    # as ONE packed chain per edge: kernels embedded centered in a shared
+    # grouped 9x9 depthwise conv, pointwise convs as one block-diagonal
+    # dense matmul, masked inner BN/ReLU (models/search.py
+    # _mixed_fold_packed). Same math, ~4x fewer ops on 4x wider channels.
+    # Measured on v5e at reference dims: fwd 9.2 -> 27.0 ms, fwd+bwd
+    # 46.8 -> 162.7 ms — XLA lowers the channel-multiplier grouped convs
+    # to dense multiply+reduce materializations and the copies get WORSE
+    # (profile in NOTES.md). Default off; kept as the parity-tested record
+    # of the experiment. Requires fold_bn_mixture; off under bn_eval_stats.
+    pack_conv_branches: bool = False
     # Rematerialize each DARTS cell in the backward pass (jax.checkpoint):
     # residuals per cell shrink to its two input states. Measured on v5e at
     # reference dims (scripts/microbench_darts.py): fwd+bwd 46.8 -> 68.6 ms

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat_cells", action="store_true",
                    help="rematerialize DARTS cells in the bwd pass "
                         "(memory over speed; see config.py)")
+    p.add_argument("--pack_conv_branches", action="store_true",
+                   help="packed depthwise-separable mixed-op branches "
+                        "(measured slower on v5e; see config.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
@@ -94,7 +97,8 @@ def config_from_args(args) -> Config:
                         bn_eval_stats=args.bn_eval_stats,
                         fuse_mixed_ops=args.fuse_mixed_ops,
                         fold_bn_mixture=not args.no_fold_bn,
-                        remat_cells=args.remat_cells)
+                        remat_cells=args.remat_cells,
+                        pack_conv_branches=args.pack_conv_branches)
     if args.tiny:
         model = dataclasses.replace(
             model, img_embed_size=16, word_embed_size=8,

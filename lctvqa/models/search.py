@@ -285,8 +285,148 @@ def _mixed_fold(p, x, weights, stride: int, dtype, eps: float = 1e-5):
     return out - bias
 
 
+# The four depthwise-separable primitives share the chain shape
+# relu -> depthwise -> pointwise [-> BN -> relu -> depthwise -> pointwise];
+# _mixed_fold_packed runs them as ONE packed chain (see its docstring).
+_PACKED_BRANCHES = ("sep_conv_3x3", "sep_conv_5x5",
+                    "dil_conv_3x3", "dil_conv_5x5")
+_SEP_MASK_PATTERN = (1.0, 1.0, 0.0, 0.0)   # which branches have stage 2
+
+
+def _packed_dw1_kernel(p, cs: int):
+    """[9,9,1,Cs*NB] depthwise kernel embedding each branch's FIRST
+    depthwise filter centered (dilated taps expanded). Output channel
+    c*NB + b is branch b applied to input channel c — the (c-major,
+    b-minor) order XLA's grouped conv produces."""
+    nb = len(_PACKED_BRANCHES)
+    kern = jnp.zeros((9, 9, 1, cs * nb), jnp.float32)
+    specs = (("sep_conv_3x3", "dw1", 3, 1), ("sep_conv_5x5", "dw1", 5, 1),
+             ("dil_conv_3x3", "dw", 3, 2), ("dil_conv_5x5", "dw", 5, 2))
+    ctr = 4
+    for b, (prim, name, kk, dil) in enumerate(specs):
+        half = (kk - 1) // 2 * dil
+        sl = slice(ctr - half, ctr + half + 1, dil)
+        kern = kern.at[sl, sl, :, b::nb].set(p[prim][name]["w"])
+    return kern
+
+
+def _packed_dw2_kernel(p, cs: int):
+    """[5,5,1,Cs*NB] second-stage depthwise kernel: sep branches get their
+    dw2 filter (centered), dil branches a delta (identity)."""
+    nb = len(_PACKED_BRANCHES)
+    kern = jnp.zeros((5, 5, 1, cs * nb), jnp.float32)
+    kern = kern.at[1:4, 1:4, :, 0::nb].set(p["sep_conv_3x3"]["dw2"]["w"])
+    kern = kern.at[:, :, :, 1::nb].set(p["sep_conv_5x5"]["dw2"]["w"])
+    kern = kern.at[2, 2, :, 2::nb].set(1.0)
+    kern = kern.at[2, 2, :, 3::nb].set(1.0)
+    return kern
+
+
+def _packed_pw_matrix(blocks, cs: int):
+    """Block-diagonal-by-branch [Cs*NB, Cs*NB] pointwise matrix in the
+    interleaved (c-major, b-minor) channel order. `None` block = identity.
+    Runs as ONE dense 1x1 conv — the zero blocks ride the MXU for free and
+    no channel de-interleave copy is ever needed."""
+    nb = len(blocks)
+    m = jnp.zeros((cs * nb, cs * nb), jnp.float32)
+    eye = None
+    for b, w in enumerate(blocks):
+        if w is None:
+            eye = jnp.eye(cs, dtype=jnp.float32) if eye is None else eye
+            blk = eye
+        else:
+            blk = w[0, 0]                     # [1,1,Cs,Cs] -> [ci,co]
+        m = m.at[b::nb, b::nb].set(blk)
+    return m
+
+
+def _mixed_fold_packed(p, x, weights, stride: int, dtype,
+                       eps: float = 1e-5):
+    """_mixed_fold with the four depthwise-separable branches packed into
+    one chain:
+
+        relu(x)                                   (shared: all 4 branches)
+        -> one grouped 9x9 depthwise conv         (kernels embedded centered,
+           [N,H',W',4*Cs], stride s)               dilation expanded)
+        -> one block-diagonal dense 1x1 conv      (pw1 of each branch)
+        -> masked inner BN + ReLU                 (sep branches only; dil
+                                                   channels pass through)
+        -> one grouped 5x5 depthwise conv         (sep dw2; delta for dil)
+        -> one block-diagonal dense 1x1 conv      (sep pw2; identity for dil)
+        -> fold final BNs + alphas per channel, contract the branch axis
+
+    Why: after BN folding the search net is layout-copy-bound (NOTES.md) —
+    dozens of tiny-channel (Cs=4..16) conv ops per edge each pay layout
+    rotations, worst in the backward. Packing turns ~14 ops into 6 on 4x
+    wider channels; zero-padding the kernels and block matrices is exact
+    (extra taps/entries multiply by 0), so this is the same math with the
+    same parameter pytree, only scheduled TPU-shaped. The final per-branch
+    BN + alpha fold works per packed channel because BN is per-channel.
+    """
+    nb = len(_PACKED_BRANCHES)
+    cs = x.shape[-1]
+    terms = []
+    bias = None
+    # pools / skip / none: exactly as _mixed_fold
+    for i, prim in enumerate(PRIMITIVES):
+        a = weights[i].astype(jnp.float32)
+        if prim == "none" or prim in _PACKED_BRANCHES:
+            continue
+        if prim == "skip_connect" and stride == 1:
+            terms.append(a * x.astype(jnp.float32))
+            continue
+        y = _op_prebn(p[prim], prim, x, stride, dtype)
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
+        coef = a * jax.lax.rsqrt(var + eps)
+        terms.append(y32 * coef)
+        b = coef * mean
+        bias = b if bias is None else bias + b
+
+    od = dtype
+    y = jnp.maximum(x, 0.0)
+    z = C.conv2d({"w": _packed_dw1_kernel(p, cs)}, y, stride=stride,
+                 padding=4, groups=cs, dtype=dtype, out_dtype=od)
+    z = C.conv2d({"w": _packed_pw_matrix(
+        [p[pr]["pw1" if pr.startswith("sep") else "pw"]["w"]
+         for pr in _PACKED_BRANCHES], cs)[None, None]},
+        z, dtype=dtype, out_dtype=od)
+    # masked inner BN + ReLU: sep channels normalized+rectified, dil pass
+    z32 = z.astype(jnp.float32)
+    mean1 = jnp.mean(z32, axis=(0, 1, 2))
+    var1 = jnp.mean(jnp.square(z32), axis=(0, 1, 2)) - jnp.square(mean1)
+    sep_mask = jnp.tile(jnp.asarray(_SEP_MASK_PATTERN, jnp.float32), cs)
+    zn = (z32 - mean1) * jax.lax.rsqrt(var1 + eps)
+    z2 = jnp.where(sep_mask > 0.0, jnp.maximum(zn, 0.0), z32)
+    z2 = z2.astype(od) if od is not None else z2
+    w2 = C.conv2d({"w": _packed_dw2_kernel(p, cs)}, z2, stride=1,
+                  padding=2, groups=cs * nb, dtype=dtype, out_dtype=od)
+    out = C.conv2d({"w": _packed_pw_matrix(
+        [p["sep_conv_3x3"]["pw2"]["w"], p["sep_conv_5x5"]["pw2"]["w"],
+         None, None], cs)[None, None]}, w2, dtype=dtype, out_dtype=od)
+    # fold each branch's final BN + its alpha; contract the branch axis
+    out32 = out.astype(jnp.float32)
+    meanp = jnp.mean(out32, axis=(0, 1, 2))
+    varp = jnp.mean(jnp.square(out32), axis=(0, 1, 2)) - jnp.square(meanp)
+    alphas_b = jnp.stack(
+        [weights[PRIMITIVES.index(pr)] for pr in _PACKED_BRANCHES]
+    ).astype(jnp.float32)
+    coefp = jnp.tile(alphas_b, cs) * jax.lax.rsqrt(varp + eps)
+    term = (out32 * coefp).reshape(*out32.shape[:-1], cs, nb).sum(-1)
+    biasp = (coefp * meanp).reshape(cs, nb).sum(-1)
+    terms.append(term)
+    bias = biasp if bias is None else bias + biasp
+
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc - bias
+
+
 def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
-                   shuffle: bool = True, fold_bn: bool = False):
+                   shuffle: bool = True, fold_bn: bool = False,
+                   pack: bool = False):
     """ops on the first C/k channels, weighted-summed; untouched 3/4
     concatenated (maxpool2x2'd if reduction); channel shuffle.
 
@@ -294,12 +434,16 @@ def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
     sums beta-weighted edge outputs first and shuffles ONCE per node —
     exact because channel_shuffle is linear (saves E-1 relayout copies
     per node). fold_bn=True routes through _mixed_fold (same math, final
-    BNs folded into the mixture coefficients)."""
+    BNs folded into the mixture coefficients); pack=True additionally
+    packs the depthwise-separable branches (_mixed_fold_packed)."""
     c = x.shape[-1]
     xtemp = x[..., : c // k]
     xtemp2 = x[..., c // k:]
     acc = jnp.float32 if dtype is None else dtype
-    if fold_bn:
+    if fold_bn and pack:
+        temp1 = _mixed_fold_packed(p, xtemp, weights, stride,
+                                   dtype).astype(acc)
+    elif fold_bn:
         temp1 = _mixed_fold(p, xtemp, weights, stride, dtype).astype(acc)
     else:
         # Stack the 8 op outputs and contract with the alpha weights in one
@@ -344,7 +488,8 @@ def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
 
 
 def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
-               reduction_prev, k, dtype, fold_bn: bool = False):
+               reduction_prev, k, dtype, fold_bn: bool = False,
+               pack: bool = False):
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
@@ -359,7 +504,7 @@ def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
             stride = 2 if reduction and j < 2 else 1
             y = betas[offset + j] * mixed_op_apply(
                 p["ops"][offset + j], h, alphas[offset + j], stride, k,
-                dtype, shuffle=False, fold_bn=fold_bn)
+                dtype, shuffle=False, fold_bn=fold_bn, pack=pack)
             s = y if s is None else s + y
         offset += len(states)
         # one shuffle per node instead of per edge (see mixed_op_apply)
@@ -447,6 +592,7 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     # (trace-time) state, so remat's re-trace would double-consume them —
     # disable remat there too.
     fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
+    pack = cfg.pack_conv_branches and fold_bn
     remat = cfg.remat_cells and not cfg.bn_eval_stats
 
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
@@ -457,7 +603,7 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
             return cell_apply(
                 cp, t0, t1, a, b, cfg.darts_steps, cfg.darts_multiplier,
                 _spec["reduction"], _spec["reduction_prev"],
-                cfg.darts_partial_k, dtype, fold_bn=fold_bn)
+                cfg.darts_partial_k, dtype, fold_bn=fold_bn, pack=pack)
 
         if remat:
             _cell = jax.checkpoint(_cell)

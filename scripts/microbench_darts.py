@@ -56,6 +56,9 @@ def main():
                                 fold_bn_mixture=False, remat_cells=False)),
         ("bfloat16_fold", dict(compute_dtype="bfloat16",
                                fold_bn_mixture=True, remat_cells=False)),
+        ("bfloat16_packed", dict(compute_dtype="bfloat16",
+                                 fold_bn_mixture=True,
+                                 pack_conv_branches=True)),
         ("bfloat16_fold_remat", dict(compute_dtype="bfloat16",
                                      fold_bn_mixture=True,
                                      remat_cells=True)),

@@ -107,6 +107,44 @@ def test_fold_bn_mixture_matches_unfolded():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_pack_conv_branches_matches_unpacked():
+    """_mixed_fold_packed embeds the four depthwise-separable branches in
+    shared grouped convs (zero-padded kernels / block-diagonal pointwise
+    matrices) — exact zero contributions, so outputs and gradients must
+    match the unpacked folded path to fp32-reassociation tolerance."""
+    cfg = _cfg(darts_init_ch=4, darts_layers=2, img_size=16)
+    packed = dataclasses.replace(cfg, fold_bn_mixture=True,
+                                 pack_conv_branches=True)
+    fold = dataclasses.replace(cfg, fold_bn_mixture=True,
+                               pack_conv_branches=False)
+    key = jax.random.PRNGKey(6)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(key, (4, 16, 16, 3))
+
+    y1 = jax.jit(lambda p, a: search.network_apply(p, a, packed, x))(
+        params, arch)
+    y2 = jax.jit(lambda p, a: search.network_apply(p, a, fold, x))(
+        params, arch)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(c):
+        return lambda p, a: jnp.sum(search.network_apply(p, a, c, x) ** 2)
+
+    g1p, g1a = jax.jit(jax.grad(loss(packed), argnums=(0, 1)))(params,
+                                                               arch)
+    g2p, g2a = jax.jit(jax.grad(loss(fold), argnums=(0, 1)))(params, arch)
+    for a, b in zip(jax.tree_util.tree_leaves(g1p),
+                    jax.tree_util.tree_leaves(g2p)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-3,
+                                   atol=2e-3 * max(1.0, np.abs(a).max()))
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(g1a[k]), np.asarray(g2a[k]),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_remat_cells_matches_no_remat():
     """jax.checkpoint re-runs the identical cell computation in the bwd
     pass, so outputs and gradients must match the non-remat path to fp32
