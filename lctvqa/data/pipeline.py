@@ -146,9 +146,14 @@ class VqaH5Dataset:
         is_pick = valid & (csum == target_rank)
         answer_label = np.where(n_valid > 0, is_pick.argmax(axis=1),
                                 self.ans_vocab.unk2idx).astype(np.int32)
-        # multi-choice: first max_num_ans valid indices, -1 padded
+        # multi-choice: first max_num_ans valid indices, -1 padded. The
+        # answer-vocab width A can be smaller than max_num_ans (tiny
+        # synthetic sets) — pad the column dimension before masking.
         order = np.argsort(~valid, axis=1, kind="stable")  # valid cols first
         mc = order[:, :max_num_ans].astype(np.int32)
+        if mc.shape[1] < max_num_ans:
+            mc = np.pad(mc, ((0, 0), (0, max_num_ans - mc.shape[1])),
+                        constant_values=-1)
         ranks = np.arange(max_num_ans)[None, :]
         mc = np.where(ranks < n_valid[:, None], mc, -1)
         return {

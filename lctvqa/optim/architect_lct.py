@@ -55,7 +55,14 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
                        mode: str | None = None):
     """Returns arch_grad(arch, ef_params, w_params, train_batch, val_batch,
     ef_lr, w_lr, rng) -> (grads_like_arch, unrolled_val_loss)."""
+    import dataclasses
     mode = mode or tcfg.architect_mode
+    # The architect differentiates THROUGH inner jax.grad calls
+    # (grad-of-grad). The Pallas LSTM cell's custom_vjp has no JVP rule, so
+    # it cannot sit under second-order AD — the architect's model closures
+    # use the plain jnp cell (XLA-fused; the Pallas win is in the
+    # first-order stage1/2/eval paths, which keep it).
+    mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
     temp = tcfg.temperature
     w_lambda = tcfg.w_lambda
 

@@ -11,6 +11,7 @@ variant scores exact answer-string match and BLEU over the qa stream.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 import sys
@@ -41,8 +42,13 @@ def make_darts_steps(cfg: Config, unk_idx: int, qst_only: bool = False):
     arch_tx = arch_optimizer(tcfg)
     mean, std = cfg.data.mean, cfg.data.std
 
+    # The architect's grad-through-unroll is second-order AD; the Pallas
+    # LSTM custom_vjp has no JVP rule, so its closures use the jnp cell
+    # (see optim/architect_lct.make_lct_arch_grad).
+    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
+
     def loss_fn(p, a, batch, rng):
-        return vqa_ef.ef_loss(p, a, mcfg, batch["image"],
+        return vqa_ef.ef_loss(p, a, arch_mcfg, batch["image"],
                               batch["question"], batch["answer_label"],
                               rng=rng, deterministic=False,
                               qst_only=qst_only)
@@ -112,8 +118,12 @@ def make_unified_steps(cfg: Config):
     arch_tx = arch_optimizer(tcfg)
     mean, std = cfg.data.mean, cfg.data.std
 
+    # jnp LSTM cell under the second-order architect (no JVP rule for the
+    # Pallas cell's custom_vjp) — see make_darts_steps
+    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
+
     def loss_fn(p, a, batch, rng):
-        return unified_model.unified_loss(p, a, mcfg, batch["image"],
+        return unified_model.unified_loss(p, a, arch_mcfg, batch["image"],
                                           batch["qa_str"], rng=rng,
                                           deterministic=False)
 

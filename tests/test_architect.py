@@ -140,3 +140,45 @@ def test_lct_exact_full_gradient_finite_and_nonzero():
     assert np.isfinite(flat).all()
     assert np.abs(flat).sum() > 0
     assert np.isfinite(float(v))
+
+
+def test_architects_never_route_to_pallas_lstm(monkeypatch):
+    """Regression: the architects are second-order AD (grad-of-grad) and
+    the Pallas LSTM cell's custom_vjp has no JVP rule — tracing stage3 /
+    the darts arch step with use_pallas_lstm=True crashed on TPU
+    ("Linearization failed ..."). The architect factories must force the
+    jnp cell in their closures even when the config enables Pallas (the
+    CPU fallback in lstm_cell_pallas would otherwise hide this here)."""
+    import lctvqa.ops.pallas_lstm as pallas_lstm
+
+    def boom(*a, **k):
+        raise AssertionError("architect path routed to the Pallas LSTM")
+
+    monkeypatch.setattr(pallas_lstm, "lstm_cell_pallas", boom)
+
+    mcfg = _micro_mcfg(use_pallas_lstm=True)
+    tcfg = small_test_config().train
+    train_batch, val_batch = _batches(mcfg)
+    key = jax.random.PRNGKey(6)
+    kef, kw = jax.random.split(key)
+    ef_params, arch = vqa_ef.init_ef_model(kef, mcfg)
+    w_params = vqa_w.init_w_model(kw, mcfg)
+
+    g, v = jax.jit(make_lct_arch_grad(mcfg, tcfg, mode="exact"))(
+        arch, ef_params, w_params, train_batch, val_batch, 0.01, 0.01, key)
+    assert np.isfinite(float(v))
+
+    # darts-family architect through the real factory (experiment_darts)
+    from lctvqa.config import Config
+    from lctvqa.train.experiment_darts import make_darts_steps
+    cfg = dataclasses.replace(small_test_config(), model=mcfg)
+    steps = make_darts_steps(cfg, unk_idx=1)
+    arch_opt = steps["arch_tx"].init(arch)
+
+    def u8(b):
+        img = np.clip((np.asarray(b["image"]) * 0.2 + 0.5) * 255, 0, 255)
+        return dict(b, image_u8=jnp.asarray(img.astype(np.uint8)))
+
+    arch2, _, v2 = steps["arch"](arch, arch_opt, ef_params, u8(train_batch),
+                                 u8(val_batch), 0.01, key)
+    assert np.isfinite(float(v2))

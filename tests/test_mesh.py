@@ -16,15 +16,18 @@ from lctvqa.train.steps import make_lct_steps
 
 
 def _setup():
+    # img_size 32, not smaller: the W model's VGG19 trunk has five stride-2
+    # pools (32 -> 1); 16px would collapse to a 0-sized feature map and
+    # fail at trace time in the stage2/stage3 steps that run W.
     model = ModelConfig(
         img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
-        max_qst_len=6, qst_vocab_size=32, ans_vocab_size=16, img_size=16,
+        max_qst_len=6, qst_vocab_size=32, ans_vocab_size=16, img_size=32,
         darts_init_ch=4, darts_layers=1, darts_steps=2, darts_multiplier=2,
         compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
     cfg = Config(model=model, train=TrainConfig(batch_size=8))
     rng = np.random.RandomState(0)
     batch = {
-        "image_u8": rng.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8),
+        "image_u8": rng.randint(0, 256, (8, 32, 32, 3), dtype=np.uint8),
         "question": rng.randint(0, 32, (8, 6)).astype(np.int32),
         "answer_label": rng.randint(0, 16, (8,)).astype(np.int32),
         "answer_multi_choice": rng.randint(-1, 16, (8, 10)).astype(
@@ -175,14 +178,26 @@ def test_epoch_batches_process_slicing(synth_dir):
 
 def test_distributed_initialize_single_process():
     """jax.distributed.initialize with an explicit single-process
-    coordinator — the exact call a pod slice makes (distributed.py:21)."""
-    import jax as j
-    if j._src.distributed.global_state.client is not None:  # already up
-        return
-    from lctvqa.parallel import distributed
-    distributed.initialize(coordinator_address="127.0.0.1:12398",
-                           num_processes=1, process_id=0)
-    assert j.process_count() == 1
+    coordinator — the exact call a pod slice makes (distributed.py:21).
+
+    Runs in a SUBPROCESS: initialize() must precede any XLA backend use,
+    so doing it in this process would depend on test order."""
+    import subprocess
+    import sys
+    code = (
+        "from lctvqa.parallel import distributed\n"
+        "import jax\n"
+        "distributed.initialize(coordinator_address='127.0.0.1:12398',\n"
+        "                       num_processes=1, process_id=0)\n"
+        "assert jax.process_count() == 1\n"
+        "mesh = distributed.global_mesh()\n"
+        "assert mesh.devices.size == jax.device_count()\n"
+        "print('DIST_OK')\n")
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=240,
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"})
+    assert "DIST_OK" in out.stdout, out.stderr[-2000:]
 
 
 def test_lct_experiment_multihost_single_process(synth_dir, tmp_path):
@@ -196,19 +211,25 @@ def test_lct_experiment_multihost_single_process(synth_dir, tmp_path):
     import os
     from lctvqa.train.experiment import Experiment
 
-    qv = VocabDict(os.path.join(synth_dir, "vocab_questions.txt"))
-    av = VocabDict(os.path.join(synth_dir, "vocab_answers.txt"))
+    # stage2 runs the W model whose VGG19 trunk needs >=32px input (five
+    # stride-2 pools) — build a 32px dataset instead of the 16px fixture
+    from lctvqa.data.synthetic import make_dataset
+    data_dir = str(tmp_path / "synth32")
+    make_dataset(data_dir, num_images=8, num_questions=24, img_size=32,
+                 n_answers=8)
+    qv = VocabDict(os.path.join(data_dir, "vocab_questions.txt"))
+    av = VocabDict(os.path.join(data_dir, "vocab_answers.txt"))
     model = ModelConfig(
         img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
         max_qst_len=6, qst_vocab_size=qv.vocab_size,
-        ans_vocab_size=av.vocab_size, img_size=16, darts_init_ch=4,
+        ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
         darts_layers=1, darts_steps=2, darts_multiplier=2,
         compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
     cfg = Config(model=model,
                  train=TrainConfig(batch_size=8, num_epochs=1,
                                    skip_stage2=False, skip_stage3=True,
                                    report_freq=1),
-                 data=DataConfig(input_dir=synth_dir),
+                 data=DataConfig(input_dir=data_dir),
                  mesh=MeshConfig(multihost=True),
                  exp_name="mh_test", root_stats_dir=str(tmp_path))
     exp = Experiment(cfg)
