@@ -424,9 +424,25 @@ def _mixed_fold_packed(p, x, weights, stride: int, dtype,
     return acc - bias
 
 
+# Test hook: run the Pallas mixed-op kernel in interpret mode off-TPU so
+# the CPU suite can exercise the integrated path (tests/test_pallas_mixedop)
+PALLAS_MIX_INTERPRET = False
+
+
+def _pallas_mixed_eligible(xtemp, stride: int) -> bool:
+    """Shape gate for the Pallas mixed-op kernel: stride-1, lane-exact
+    channel-major flatten (Cs*N % 128), and the kernel's ~6 working slabs
+    fit VMEM (v5e: 128 MiB physical; we budget 90 MB)."""
+    n, h, w, cs = xtemp.shape
+    if stride != 1 or (cs * n) % 128 != 0:
+        return False
+    slab_bytes = (h + 8) * (w + 8) * cs * n * 4
+    return 6 * slab_bytes <= 90 * 1024 * 1024
+
+
 def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
                    shuffle: bool = True, fold_bn: bool = False,
-                   pack: bool = False):
+                   pack: bool = False, pallas_mix: bool = False):
     """ops on the first C/k channels, weighted-summed; untouched 3/4
     concatenated (maxpool2x2'd if reduction); channel shuffle.
 
@@ -435,12 +451,19 @@ def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
     exact because channel_shuffle is linear (saves E-1 relayout copies
     per node). fold_bn=True routes through _mixed_fold (same math, final
     BNs folded into the mixture coefficients); pack=True additionally
-    packs the depthwise-separable branches (_mixed_fold_packed)."""
+    packs the depthwise-separable branches (_mixed_fold_packed);
+    pallas_mix=True routes eligible stride-1 edges through the Pallas
+    whole-edge kernel (ops/pallas_mixedop; caller checks the backend)."""
     c = x.shape[-1]
     xtemp = x[..., : c // k]
     xtemp2 = x[..., c // k:]
     acc = jnp.float32 if dtype is None else dtype
-    if fold_bn and pack:
+    if fold_bn and pallas_mix and _pallas_mixed_eligible(xtemp, stride):
+        from lctvqa.ops.pallas_mixedop import mixed_op_pallas
+        temp1 = mixed_op_pallas(
+            p, xtemp, weights, dtype=dtype,
+            interpret=jax.default_backend() != "tpu").astype(acc)
+    elif fold_bn and pack:
         temp1 = _mixed_fold_packed(p, xtemp, weights, stride,
                                    dtype).astype(acc)
     elif fold_bn:
@@ -489,7 +512,7 @@ def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
 
 def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
                reduction_prev, k, dtype, fold_bn: bool = False,
-               pack: bool = False):
+               pack: bool = False, pallas_mix: bool = False):
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
@@ -504,7 +527,8 @@ def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
             stride = 2 if reduction and j < 2 else 1
             y = betas[offset + j] * mixed_op_apply(
                 p["ops"][offset + j], h, alphas[offset + j], stride, k,
-                dtype, shuffle=False, fold_bn=fold_bn, pack=pack)
+                dtype, shuffle=False, fold_bn=fold_bn, pack=pack,
+                pallas_mix=pallas_mix)
             s = y if s is None else s + y
         offset += len(states)
         # one shuffle per node instead of per edge (see mixed_op_apply)
@@ -593,6 +617,11 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     # disable remat there too.
     fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
     pack = cfg.pack_conv_branches and fold_bn
+    # Pallas whole-edge kernel: TPU only (jnp fallback elsewhere; the CPU
+    # suite forces the path in interpret mode via PALLAS_MIX_INTERPRET)
+    pallas_mix = (cfg.pallas_mixed_op and fold_bn
+                  and (jax.default_backend() == "tpu"
+                       or PALLAS_MIX_INTERPRET))
     remat = cfg.remat_cells and not cfg.bn_eval_stats
 
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
@@ -603,7 +632,8 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
             return cell_apply(
                 cp, t0, t1, a, b, cfg.darts_steps, cfg.darts_multiplier,
                 _spec["reduction"], _spec["reduction_prev"],
-                cfg.darts_partial_k, dtype, fold_bn=fold_bn, pack=pack)
+                cfg.darts_partial_k, dtype, fold_bn=fold_bn, pack=pack,
+                pallas_mix=pallas_mix)
 
         if remat:
             _cell = jax.checkpoint(_cell)

@@ -251,11 +251,287 @@ def mixed_op_pallas_hwcn(x_hwcn, dws, pws, alphas, C: int, N: int,
     )(x_hwcn, dws, pws, alphas)
 
 
+# ---------------------------------------------------------------------------
+# Backward kernel. Recomputes the forward in VMEM (flash-attention style —
+# the custom_vjp residuals are just the inputs) and emits COLUMNAR
+# gradients: per-[C*N]-column reductions, so the cotangent of the widened
+# tap rows flows back through _pack_params' jnp.repeat (which sums the
+# N-groups) with no in-kernel scalar packing.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_ref, dw_ref, pw_ref, alpha_ref, g_ref,
+                dx_ref, ddw_ref, dpw_ref, dalpha_ref,
+                xp_ref, zp_ref, gp_ref, dxp_ref, t_ref, y_ref, o_ref,
+                d_ref, *, H, W, C, N):
+    """Gradients of the mixed op w.r.t. (x, wide dw taps, pw mats, alphas).
+
+    dpw_ref is [8, C(co), C*N] columnar: entry (kidx, co, ci*N+n) =
+    sum_hw t[ci]*do[co]; the wrapper sums the N-groups and transposes to
+    the [ci, co] parameter layout. ddw_ref rows are full-width colsums
+    (the true cotangent of the [T, C*N] widened taps).
+    """
+    cn = C * N
+    inv_cnt = 1.0 / float(H * W * N)
+    f32 = jnp.float32
+
+    ddw_ref[:] = jnp.zeros((8, MAXT, cn), f32)
+    dpw_ref[:] = jnp.zeros((8, C, cn), f32)
+    dxp_ref[:] = jnp.zeros((H + 2 * PAD, W + 2 * PAD, cn), f32)
+    dalpha = [jnp.float32(0.0)] * 8
+
+    def fill(ref, value, border):
+        ref[:] = jnp.full((H + 2 * PAD, W + 2 * PAD, cn), border,
+                          ref.dtype)
+        ref[PAD:PAD + H, PAD:PAD + W, :] = value.astype(ref.dtype)
+
+    def tap(ref, dh, dw):
+        return ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :]
+
+    def colsum(v):
+        return jnp.sum(v, axis=(0, 1))                     # [CN]
+
+    def seg(vec, c):
+        return jnp.sum(vec[c * N:(c + 1) * N])
+
+    def cvec(scalars):
+        """[1,1,CN] from per-channel scalars."""
+        return jnp.concatenate(
+            [jnp.full((1, 1, N), s, f32) for s in scalars], axis=2)
+
+    def dw_to_t(src_halo, taps, kidx):
+        acc = None
+        for t, (dh, dw) in enumerate(taps):
+            v = tap(src_halo, dh, dw).astype(f32) * dw_ref[kidx, t, :]
+            acc = v if acc is None else acc + v
+        t_ref[:] = acc
+
+    def pw_to(dst_ref, kidx):
+        for co in range(C):
+            acc = t_ref[:, :, 0:N] * pw_ref[kidx, 0, co]
+            for ci in range(1, C):
+                acc += t_ref[:, :, ci * N:(ci + 1) * N] \
+                    * pw_ref[kidx, ci, co]
+            dst_ref[:, :, co * N:(co + 1) * N] = acc.astype(dst_ref.dtype)
+
+    def chan_stats_vecs(o32):
+        """Columnar per-channel stats -> (mu_c, var_c lists)."""
+        osum = colsum(o32)
+        osq = colsum(jnp.square(o32))
+        mus, vars_ = [], []
+        for c in range(C):
+            m = seg(osum, c) * inv_cnt
+            v = seg(osq, c) * inv_cnt - m * m
+            mus.append(m)
+            vars_.append(v)
+        return mus, vars_
+
+    def fold_bwd(o32, alpha_idx):
+        """d_ref <- dL/d o for out += alpha*BN(o); accumulates dalpha."""
+        g = g_ref[:]
+        mus, vars_ = chan_stats_vecs(o32)
+        go = colsum(g * o32)
+        gsum = colsum(g)
+        a = alpha_ref[alpha_idx]
+        coefs, gbars, k2s = [], [], []
+        dal = jnp.float32(0.0)
+        for c in range(C):
+            r = jax.lax.rsqrt(vars_[c] + EPS)
+            s_c = seg(go, c) - mus[c] * seg(gsum, c)
+            dal += r * s_c
+            coefs.append(a * r)
+            gbars.append(seg(gsum, c) * inv_cnt)
+            k2s.append(r * r * s_c * inv_cnt)
+        dalpha[alpha_idx] = dalpha[alpha_idx] + dal
+        d_ref[:] = cvec(coefs) * (g - cvec(gbars)
+                                  - (o32 - cvec(mus)) * cvec(k2s))
+
+    def pw_bwd(kidx):
+        """Reads t (stage input) + d (output cotangent); writes the
+        columnar dpw rows, then overwrites t with the input cotangent."""
+        for co in range(C):
+            dsl = d_ref[:, :, co * N:(co + 1) * N]
+            tiled = jnp.concatenate([dsl] * C, axis=2)
+            dpw_ref[kidx, co, :] = colsum(t_ref[:] * tiled)
+        for ci in range(C):
+            acc = d_ref[:, :, 0:N] * pw_ref[kidx, ci, 0]
+            for co in range(1, C):
+                acc += d_ref[:, :, co * N:(co + 1) * N] \
+                    * pw_ref[kidx, ci, co]
+            t_ref[:, :, ci * N:(ci + 1) * N] = acc
+
+    def dw_bwd(src_halo, taps, kidx):
+        """Reads t (= dt, the dw output cotangent) + src halo; writes the
+        ddw tap rows, then d <- the dw input cotangent."""
+        for t, (dh, dw) in enumerate(taps):
+            ddw_ref[kidx, t, :] = colsum(
+                tap(src_halo, dh, dw).astype(f32) * t_ref[:])
+        fill(gp_ref, t_ref[:], 0.0)
+        acc = None
+        for t, (dh, dw) in enumerate(taps):
+            v = tap(gp_ref, -dh, -dw) * dw_ref[kidx, t, :]
+            acc = v if acc is None else acc + v
+        d_ref[:] = acc
+
+    # ---- branches --------------------------------------------------------
+    fill(xp_ref, jnp.maximum(x_ref[:], 0), 0.0)            # relu(x) halo
+    for b, (_, kk, dil, two_stage) in enumerate(BRANCHES):
+        taps1 = _tap_offsets(kk, dil)
+        # recompute forward (same materialization points as the fwd kernel)
+        dw_to_t(xp_ref, taps1, 2 * b)
+        pw_to(y_ref, 2 * b)                                # y1 (or dil o)
+        if two_stage:
+            y32 = y_ref[:].astype(f32)
+            mus1, vars1 = chan_stats_vecs(y32)
+            mu1v = cvec(mus1)
+            r1v = cvec([jax.lax.rsqrt(v + EPS) for v in vars1])
+            xhat = (y32 - mu1v) * r1v
+            taps2 = _tap_offsets(kk, 1)
+            fill(zp_ref, jnp.maximum(xhat, 0), 0.0)        # z halo
+            dw_to_t(zp_ref, taps2, 2 * b + 1)
+            pw_to(o_ref, 2 * b + 1)
+            # backward
+            fold_bwd(o_ref[:].astype(f32), 4 + b)
+            pw_bwd(2 * b + 1)
+            dw_bwd(zp_ref, taps2, 2 * b + 1)
+            # relu + inner-BN backward: d_ref = dz -> dy1
+            xhat = (y_ref[:].astype(f32) - mu1v) * r1v     # recompute
+            dzp = d_ref[:] * (xhat > 0)
+            s1 = colsum(dzp)
+            s2 = colsum(dzp * xhat)
+            m1v = cvec([seg(s1, c) * inv_cnt for c in range(C)])
+            m2v = cvec([seg(s2, c) * inv_cnt for c in range(C)])
+            d_ref[:] = r1v * (dzp - m1v - xhat * m2v)
+            # pw1 backward needs t1 = dw1(relu x) again
+            dw_to_t(xp_ref, taps1, 2 * b)
+            pw_bwd(2 * b)
+            dw_bwd(xp_ref, taps1, 2 * b)
+        else:
+            fold_bwd(y_ref[:].astype(f32), 4 + b)
+            pw_bwd(2 * b)
+            dw_bwd(xp_ref, taps1, 2 * b)
+        # through the shared relu(x): mask and accumulate into dx
+        dxp_ref[PAD:PAD + H, PAD:PAD + W, :] += \
+            d_ref[:] * (x_ref[:].astype(f32) > 0)
+
+    # ---- max pool --------------------------------------------------------
+    taps3 = _tap_offsets(3, 1)
+    fill(zp_ref, x_ref[:], -jnp.inf)                       # raw-x halo
+    acc = None
+    for dh, dw in taps3:
+        v = tap(zp_ref, dh, dw).astype(f32)
+        acc = v if acc is None else jnp.maximum(acc, v)
+    t_ref[:] = acc                                         # maxval f32
+    y_ref[:] = jnp.ones((H, W, cn), y_ref.dtype)           # remaining mask
+    # the fwd folded the bf16-materialized max — stats/grads match that
+    o_ref[:] = acc.astype(o_ref.dtype)
+    fold_bwd(o_ref[:].astype(f32), 1)
+    for dh, dw in taps3:
+        eq = tap(zp_ref, dh, dw).astype(f32) == t_ref[:]
+        # compare in f32 — Mosaic has no bf16 vector cmp on this target
+        take = jnp.logical_and(eq, y_ref[:].astype(f32) > 0.5)
+        dxp_ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :] += \
+            jnp.where(take, d_ref[:], 0.0)
+        y_ref[:] = jnp.where(take, 0.0, y_ref[:].astype(f32)) \
+            .astype(y_ref.dtype)
+
+    # ---- avg pool --------------------------------------------------------
+    fill(zp_ref, x_ref[:], 0.0)
+    acc = None
+    for dh, dw in taps3:
+        v = tap(zp_ref, dh, dw).astype(f32)
+        acc = v if acc is None else acc + v
+    ih_idx = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
+    iw_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+    cnt_h = jnp.where((ih_idx == 0) | (ih_idx == H - 1), 2.0, 3.0)
+    cnt_w = jnp.where((iw_idx == 0) | (iw_idx == W - 1), 2.0, 3.0)
+    cnt = cnt_h * cnt_w
+    o_ref[:] = (acc / cnt).astype(o_ref.dtype)
+    fold_bwd(o_ref[:].astype(f32), 2)
+    d_ref[:] = d_ref[:] / cnt
+    for dh, dw in taps3:
+        dxp_ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :] += \
+            d_ref[:]
+
+    # ---- identity skip + finalize ---------------------------------------
+    g = g_ref[:]
+    x32 = x_ref[:].astype(f32)
+    dxp_ref[PAD:PAD + H, PAD:PAD + W, :] += g * alpha_ref[3]
+    dalpha[3] = jnp.sum(colsum(g * x32))
+    dx_ref[:] = dxp_ref[PAD:PAD + H, PAD:PAD + W, :]
+    dalpha_ref[0, :] = jnp.stack(dalpha)
+
+
+def _mixed_bwd_call(xt, dws, pws, alphas, g, C: int, N: int,
+                    interpret: bool = False):
+    H, W, cn = xt.shape
+    kern = functools.partial(_bwd_kernel, H=H, W=W, C=C, N=N)
+    halo = pltpu.VMEM((H + 2 * PAD, W + 2 * PAD, cn), xt.dtype)
+    halo32 = pltpu.VMEM((H + 2 * PAD, W + 2 * PAD, cn), jnp.float32)
+    slab = pltpu.VMEM((H, W, cn), xt.dtype)
+    slab32 = pltpu.VMEM((H, W, cn), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((H, W, cn), jnp.float32),       # dx
+            jax.ShapeDtypeStruct((8, MAXT, cn), jnp.float32),    # ddw
+            jax.ShapeDtypeStruct((8, C, cn), jnp.float32),       # dpw cols
+            jax.ShapeDtypeStruct((1, 8), jnp.float32),           # dalpha
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[halo, halo, halo32, halo32, slab32, slab, slab,
+                        slab32],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, dws, pws, alphas, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mixed_hwcn(xt, dws, pws, alphas, C, N, interpret):
+    return mixed_op_pallas_hwcn(xt, dws, pws, alphas, C, N,
+                                interpret=interpret)
+
+
+def _mixed_hwcn_fwd(xt, dws, pws, alphas, C, N, interpret):
+    return (_mixed_hwcn(xt, dws, pws, alphas, C, N, interpret),
+            (xt, dws, pws, alphas))
+
+
+def _mixed_hwcn_bwd(C, N, interpret, res, g):
+    xt, dws, pws, alphas = res
+    dxt, ddw, dpw_cols, dalpha = _mixed_bwd_call(
+        xt, dws, pws, alphas, g.astype(jnp.float32), C, N, interpret)
+    # columnar [8, co, ci*N+n] -> parameter layout [8, ci, co]
+    dpw = jnp.swapaxes(
+        dpw_cols.reshape(8, C, C, N).sum(axis=-1), 1, 2)
+    return (dxt.astype(xt.dtype) if xt.dtype != jnp.float32 else dxt,
+            ddw, dpw, dalpha.reshape(8))
+
+
+_mixed_hwcn.defvjp(_mixed_hwcn_fwd, _mixed_hwcn_bwd)
+
+
 def mixed_op_pallas(p, x, weights, dtype=None, interpret: bool = False):
     """Drop-in stride-1 replacement for models.search._mixed_fold.
 
     x: [N, H, W, Cs] (the partial-channel slice); returns [N, H, W, Cs]
-    f32 — the alpha-weighted, final-BN-folded op mixture.
+    f32 — the alpha-weighted, final-BN-folded op mixture. Differentiable
+    (first order) via the paired backward kernel; parameter/alpha
+    cotangents flow back through _pack_params' jnp.repeat / scatter by
+    XLA autodiff.
     """
     n, h, w, c = x.shape
     dws, pws = _pack_params(p, c, n)
@@ -263,7 +539,6 @@ def mixed_op_pallas(p, x, weights, dtype=None, interpret: bool = False):
     # NHWC -> [H, W, C, N] -> [H, W, C*N]: one relayout in, one out; the
     # kernel's internal traffic happens in VMEM only.
     xt = jnp.transpose(xd, (1, 2, 3, 0)).reshape(h, w, c * n)
-    out = mixed_op_pallas_hwcn(xt, dws, pws,
-                               weights.astype(jnp.float32), c, n,
-                               interpret=interpret)
+    out = _mixed_hwcn(xt, dws, pws, weights.astype(jnp.float32), c, n,
+                      interpret)
     return jnp.transpose(out.reshape(h, w, c, n), (3, 0, 1, 2))

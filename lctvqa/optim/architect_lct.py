@@ -62,7 +62,8 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
     # it cannot sit under second-order AD — the architect's model closures
     # use the plain jnp cell (XLA-fused; the Pallas win is in the
     # first-order stage1/2/eval paths, which keep it).
-    mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
+    mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
+                           pallas_mixed_op=False)
     temp = tcfg.temperature
     w_lambda = tcfg.w_lambda
 

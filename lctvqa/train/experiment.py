@@ -92,6 +92,15 @@ class Experiment:
                          if use_mesh else None)
         self.batch_sharding = (mesh_lib.batch_sharding(self.mesh)
                                if self.mesh else None)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # the Pallas mixed-op kernel computes per-shard BN statistics;
+            # under a >1-device DP mesh that breaks the global-batch
+            # sync-BN semantics (tests/test_mesh.py pins sharded ==
+            # single-device), so it is XLA-path-only there
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, model=_dc.replace(
+                cfg.model, pallas_mixed_op=False))
+            self.cfg = cfg
 
         # models + optimizers
         k_ef, k_w, self.rng = jax.random.split(self.rng, 3)

@@ -45,7 +45,8 @@ def make_darts_steps(cfg: Config, unk_idx: int, qst_only: bool = False):
     # The architect's grad-through-unroll is second-order AD; the Pallas
     # LSTM custom_vjp has no JVP rule, so its closures use the jnp cell
     # (see optim/architect_lct.make_lct_arch_grad).
-    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
+    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
+                                pallas_mixed_op=False)
 
     def loss_fn(p, a, batch, rng):
         return vqa_ef.ef_loss(p, a, arch_mcfg, batch["image"],
@@ -120,7 +121,8 @@ def make_unified_steps(cfg: Config):
 
     # jnp LSTM cell under the second-order architect (no JVP rule for the
     # Pallas cell's custom_vjp) — see make_darts_steps
-    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False)
+    arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
+                                pallas_mixed_op=False)
 
     def loss_fn(p, a, batch, rng):
         return unified_model.unified_loss(p, a, arch_mcfg, batch["image"],

@@ -47,6 +47,8 @@ def main():
         return (time.perf_counter() - t0) / iters * 1e3  # ms
 
     import sys
+    # all non-pallasmix variants pin pallas_mixed_op=False so they measure
+    # the pure XLA execution strategies
     all_variants = [
         ("float32_plain", dict(compute_dtype="float32",
                                fold_bn_mixture=False, remat_cells=False)),
@@ -56,6 +58,9 @@ def main():
                                 fold_bn_mixture=False, remat_cells=False)),
         ("bfloat16_fold", dict(compute_dtype="bfloat16",
                                fold_bn_mixture=True, remat_cells=False)),
+        ("bfloat16_pallasmix", dict(compute_dtype="bfloat16",
+                                    fold_bn_mixture=True,
+                                    pallas_mixed_op=True)),
         ("bfloat16_packed", dict(compute_dtype="bfloat16",
                                  fold_bn_mixture=True,
                                  pack_conv_branches=True)),
@@ -78,6 +83,7 @@ def main():
                 if sel else all_variants)
     from lctvqa.models import search_fused
     for tag, over in variants:
+        over.setdefault("pallas_mixed_op", False)
         cfg = dataclasses.replace(base, **over)
         dtype = jnp.dtype(cfg.compute_dtype)
         apply_fn = (search_fused.network_apply_fused if cfg.fuse_mixed_ops

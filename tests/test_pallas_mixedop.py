@@ -58,6 +58,67 @@ def test_mixed_op_pallas_rect_and_channels():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_mixed_op_pallas_gradients_match_fold():
+    """custom_vjp backward kernel vs jax.grad through the XLA folded path:
+    gradients w.r.t. params, x and alphas to fp32-reassociation
+    tolerance."""
+    p, x, w = _setup(seed=11)
+    g = jax.random.normal(jax.random.PRNGKey(12), x.shape)
+
+    def loss_ref(p_, x_, w_):
+        return jnp.sum(g * search._mixed_fold(p_, x_, w_, 1, None))
+
+    def loss_pal(p_, x_, w_):
+        return jnp.sum(g * mixed_op_pallas(p_, x_, w_, dtype=None,
+                                           interpret=True))
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(p, x, w)
+    g2 = jax.grad(loss_pal, argnums=(0, 1, 2))(p, x, w)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-4,
+                                   atol=2e-4 * max(1.0, np.abs(a).max()))
+
+
+def test_network_with_pallas_mixed_op_matches_xla(monkeypatch):
+    """Integrated path: network_apply with pallas_mixed_op forced on
+    (interpret mode) must match the XLA folded path, outputs AND grads.
+    Uses N*Cs % 128 == 0 dims so the eligibility gate admits the edges."""
+    import dataclasses
+    from lctvqa.config import ModelConfig
+    monkeypatch.setattr(search, "PALLAS_MIX_INTERPRET", True)
+    cfg = ModelConfig(img_size=16, qst_vocab_size=64, ans_vocab_size=16,
+                      arch_type="darts", darts_init_ch=8, darts_layers=2,
+                      compute_dtype="float32")
+    on = dataclasses.replace(cfg, pallas_mixed_op=True)
+    off = dataclasses.replace(cfg, pallas_mixed_op=False)
+    key = jax.random.PRNGKey(0)
+    params = search.network_init(key, cfg)
+    arch = search.arch_init(key, cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 16, 16, 3))
+
+    y1 = search.network_apply(params, arch, on, x)
+    y2 = search.network_apply(params, arch, off, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(c):
+        return lambda p_, a_: jnp.sum(
+            search.network_apply(p_, a_, c, x) ** 2)
+
+    g1p, g1a = jax.grad(loss(on), argnums=(0, 1))(params, arch)
+    g2p, g2a = jax.grad(loss(off), argnums=(0, 1))(params, arch)
+    for a, b in zip(jax.tree_util.tree_leaves(g1p),
+                    jax.tree_util.tree_leaves(g2p)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-3,
+                                   atol=2e-3 * max(1.0, np.abs(a).max()))
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(g1a[k]), np.asarray(g2a[k]),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_mixed_op_pallas_alpha_sensitivity():
     """The alphas are folded INSIDE the kernel — a one-hot alpha on
     max_pool must reproduce BN(maxpool(x)) alone."""
