@@ -429,11 +429,11 @@ def _mixed_fold_packed(p, x, weights, stride: int, dtype,
 PALLAS_MIX_INTERPRET = False
 
 
-def _pallas_mixed_eligible(xtemp, stride: int) -> bool:
+def _pallas_eligible_dims(n: int, h: int, w: int, cs: int,
+                          stride: int) -> bool:
     """Shape gate for the Pallas mixed-op kernel: stride-1, lane-exact
     channel-major flatten (Cs*N % 128), and the kernel's ~6 working slabs
     fit VMEM (v5e: 128 MiB physical; we budget 90 MB)."""
-    n, h, w, cs = xtemp.shape
     if stride != 1 or (cs * n) % 128 != 0:
         return False
     slab_bytes = (h + 8) * (w + 8) * cs * n * 4
@@ -442,7 +442,7 @@ def _pallas_mixed_eligible(xtemp, stride: int) -> bool:
 
 def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
                    shuffle: bool = True, fold_bn: bool = False,
-                   pack: bool = False, pallas_mix: bool = False):
+                   pack: bool = False):
     """ops on the first C/k channels, weighted-summed; untouched 3/4
     concatenated (maxpool2x2'd if reduction); channel shuffle.
 
@@ -451,19 +451,14 @@ def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
     exact because channel_shuffle is linear (saves E-1 relayout copies
     per node). fold_bn=True routes through _mixed_fold (same math, final
     BNs folded into the mixture coefficients); pack=True additionally
-    packs the depthwise-separable branches (_mixed_fold_packed);
-    pallas_mix=True routes eligible stride-1 edges through the Pallas
-    whole-edge kernel (ops/pallas_mixedop; caller checks the backend)."""
+    packs the depthwise-separable branches (_mixed_fold_packed). The
+    Pallas whole-edge kernel is not routed from here — it runs inside
+    the HWCN trunk (_network_apply_hwcn)."""
     c = x.shape[-1]
     xtemp = x[..., : c // k]
     xtemp2 = x[..., c // k:]
     acc = jnp.float32 if dtype is None else dtype
-    if fold_bn and pallas_mix and _pallas_mixed_eligible(xtemp, stride):
-        from lctvqa.ops.pallas_mixedop import mixed_op_pallas
-        temp1 = mixed_op_pallas(
-            p, xtemp, weights, dtype=dtype,
-            interpret=jax.default_backend() != "tpu").astype(acc)
-    elif fold_bn and pack:
+    if fold_bn and pack:
         temp1 = _mixed_fold_packed(p, xtemp, weights, stride,
                                    dtype).astype(acc)
     elif fold_bn:
@@ -512,7 +507,7 @@ def cell_init(key, steps, c_pp, c_p, c, reduction, reduction_prev, k):
 
 def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
                reduction_prev, k, dtype, fold_bn: bool = False,
-               pack: bool = False, pallas_mix: bool = False):
+               pack: bool = False):
     if reduction_prev:
         s0 = factorized_reduce_apply(p["pre0"], s0, dtype)
     else:
@@ -527,8 +522,7 @@ def cell_apply(p, s0, s1, alphas, betas, steps, multiplier, reduction,
             stride = 2 if reduction and j < 2 else 1
             y = betas[offset + j] * mixed_op_apply(
                 p["ops"][offset + j], h, alphas[offset + j], stride, k,
-                dtype, shuffle=False, fold_bn=fold_bn, pack=pack,
-                pallas_mix=pallas_mix)
+                dtype, shuffle=False, fold_bn=fold_bn, pack=pack)
             s = y if s is None else s + y
         offset += len(states)
         # one shuffle per node instead of per edge (see mixed_op_apply)
@@ -618,10 +612,14 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     fold_bn = cfg.fold_bn_mixture and not cfg.bn_eval_stats
     pack = cfg.pack_conv_branches and fold_bn
     # Pallas whole-edge kernel: TPU only (jnp fallback elsewhere; the CPU
-    # suite forces the path in interpret mode via PALLAS_MIX_INTERPRET)
+    # suite forces the path in interpret mode via PALLAS_MIX_INTERPRET).
+    # The kernel runs inside the HWCN trunk — per-edge transposes from the
+    # NHWC cell cost more than the kernel saves (NOTES.md).
     pallas_mix = (cfg.pallas_mixed_op and fold_bn
                   and (jax.default_backend() == "tpu"
                        or PALLAS_MIX_INTERPRET))
+    if pallas_mix:
+        return _network_apply_hwcn(p, arch, cfg, x, dtype)
     remat = cfg.remat_cells and not cfg.bn_eval_stats
 
     for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
@@ -632,8 +630,7 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
             return cell_apply(
                 cp, t0, t1, a, b, cfg.darts_steps, cfg.darts_multiplier,
                 _spec["reduction"], _spec["reduction_prev"],
-                cfg.darts_partial_k, dtype, fold_bn=fold_bn, pack=pack,
-                pallas_mix=pallas_mix)
+                cfg.darts_partial_k, dtype, fold_bn=fold_bn, pack=pack)
 
         if remat:
             _cell = jax.checkpoint(_cell)
@@ -642,6 +639,154 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     # flatten in NCHW element order for reference weight compatibility
     out = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
     return out
+
+
+# --------------------------------------------------------------------------
+# HWCN trunk: the whole search network in [H, W, C, N] layout.
+#
+# The Pallas whole-edge kernel consumes [H, W, Cs*N]; called from the NHWC
+# cell it needs two relayout transposes PER EDGE (~88 per forward), which
+# eat its per-edge win (measured: network fwd 8.6 -> 13.2 ms). Keeping the
+# trunk in HWCN makes the kernel's input reshape a FREE view (N is the
+# minor dim), channel concat/shuffle cheap leading-axis ops, and leaves
+# exactly two transposes per network (after the stem, before the head).
+# Preprocess 1x1 convs become einsums over C (same fp32-accumulated MXU
+# matmuls). Reduction-edge ops fall back to local NHWC transposes (12
+# edges). Numerics: same materialization points as the NHWC path.
+# --------------------------------------------------------------------------
+
+
+def _bn_hwcn(x, eps: float = 1e-5):
+    """Affine-free batch-stat BN over (H, W, N) per channel."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(0, 1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(x32), axis=(0, 1, 3), keepdims=True) \
+        - jnp.square(mean)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _pw_conv_hwcn(w, x, dtype):
+    """1x1 conv as an einsum over C. w: [1,1,ci,co]; x: [H,W,ci,N]."""
+    wd = w[0, 0]
+    if dtype is not None:
+        x = x.astype(dtype)
+        wd = wd.astype(dtype)
+    return jnp.einsum("hwcn,cd->hwdn", x, wd,
+                      preferred_element_type=jnp.float32)
+
+
+def _relu_conv_bn_hwcn(p, x, dtype):
+    return _bn_hwcn(_pw_conv_hwcn(p["conv"]["w"], jnp.maximum(x, 0.0),
+                                  dtype))
+
+
+def _fact_reduce_hwcn(p, x, dtype):
+    """factorized_reduce_apply in HWCN (stride-2 1x1 convs = subsample)."""
+    y = jnp.maximum(x, 0.0)
+    a = _pw_conv_hwcn(p["conv1"]["w"], y[::2, ::2], dtype)
+    b = _pw_conv_hwcn(p["conv2"]["w"], y[1::2, 1::2], dtype)
+    return _bn_hwcn(jnp.concatenate([a, b], axis=2))
+
+
+def _max_pool2_hwcn(x):
+    return jax.lax.reduce_window(
+        x.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        (2, 2, 1, 1), (2, 2, 1, 1), "VALID")
+
+
+def channel_shuffle_hwcn(x, groups: int):
+    h, w, c, n = x.shape
+    x = x.reshape(h, w, groups, c // groups, n)
+    return jnp.swapaxes(x, 2, 3).reshape(h, w, c, n)
+
+
+def _mixed_op_hwcn(p, x, weights, stride: int, k: int, dtype):
+    """mixed_op_apply on an [H, W, C, N] state (shuffle deferred)."""
+    from lctvqa.ops.pallas_mixedop import _mixed_hwcn, _pack_params
+    h, w, c, n = x.shape
+    cs = c // k
+    xtemp = x[:, :, :cs, :]
+    xtemp2 = x[:, :, cs:, :]
+    acc = jnp.float32 if dtype is None else dtype
+    if _pallas_eligible_dims(n, h, w, cs, stride):
+        xt = (xtemp.astype(dtype) if dtype is not None else xtemp) \
+            .reshape(h, w, cs * n)                 # free view: N is minor
+        dws, pws = _pack_params(p, cs, n)
+        mix = _mixed_hwcn(xt, dws, pws, weights.astype(jnp.float32),
+                          cs, n, jax.default_backend() != "tpu")
+        mix = mix.reshape(h, w, cs, n)
+    else:
+        # reduction / ineligible edge: local NHWC round-trip (12 of 56
+        # edge instances at reference dims)
+        x_nhwc = jnp.transpose(xtemp, (3, 0, 1, 2))
+        mix = _mixed_fold(p, x_nhwc, weights, stride, dtype)
+        mix = jnp.transpose(mix, (1, 2, 3, 0))
+    rest = xtemp2 if stride == 1 else _max_pool2_hwcn(xtemp2)
+    return jnp.concatenate([mix.astype(acc), rest.astype(acc)], axis=2)
+
+
+def cell_apply_hwcn(p, s0, s1, alphas, betas, steps, multiplier, reduction,
+                    reduction_prev, k, dtype):
+    if reduction_prev:
+        s0 = _fact_reduce_hwcn(p["pre0"], s0, dtype)
+    else:
+        s0 = _relu_conv_bn_hwcn(p["pre0"], s0, dtype)
+    s1 = _relu_conv_bn_hwcn(p["pre1"], s1, dtype)
+
+    states = [s0, s1]
+    offset = 0
+    for i in range(steps):
+        s = None
+        for j, hst in enumerate(states):
+            stride = 2 if reduction and j < 2 else 1
+            y = betas[offset + j] * _mixed_op_hwcn(
+                p["ops"][offset + j], hst, alphas[offset + j], stride, k,
+                dtype)
+            s = y if s is None else s + y
+        offset += len(states)
+        states.append(channel_shuffle_hwcn(s, k))
+    return jnp.concatenate(states[-multiplier:], axis=2)
+
+
+def _network_apply_hwcn(p, arch, cfg: ModelConfig, x, dtype):
+    """network_apply with the trunk in HWCN (see block comment above)."""
+    s = C.conv2d(p["stem_conv"], x, stride=1, padding=1, dtype=dtype)
+    s = C.batchnorm(p["stem_bn"], s)
+    s0 = s1 = jnp.transpose(s, (1, 2, 3, 0))       # -> [H, W, C, N], once
+
+    w_norm = jax.nn.softmax(arch["alphas_normal"], axis=-1)
+    w_red = jax.nn.softmax(arch["alphas_reduce"], axis=-1)
+    b_norm = beta_softmax(arch["betas_normal"], cfg.darts_steps)
+    b_red = beta_softmax(arch["betas_reduce"], cfg.darts_steps)
+    remat = cfg.remat_cells and not cfg.bn_eval_stats
+
+    for cell_p, spec in zip(p["cells"], cell_schedule(cfg)):
+        alphas, betas = ((w_red, b_red) if spec["reduction"]
+                         else (w_norm, b_norm))
+
+        def _cell(cp, a, b, t0, t1, _spec=spec):
+            return cell_apply_hwcn(
+                cp, t0, t1, a, b, cfg.darts_steps, cfg.darts_multiplier,
+                _spec["reduction"], _spec["reduction_prev"],
+                cfg.darts_partial_k, dtype)
+
+        if remat:
+            _cell = jax.checkpoint(_cell)
+        s0, s1 = s1, _cell(cell_p, alphas, betas, s0, s1)
+
+    # adaptive pool over the two leading spatial axes
+    h, w = s1.shape[0], s1.shape[1]
+    mh = jnp.asarray(C._adaptive_pool_matrix(h, OUTPUT_SIZE))
+    mw = jnp.asarray(C._adaptive_pool_matrix(w, OUTPUT_SIZE))
+    s32 = s1.astype(jnp.float32)
+    pooled = jnp.einsum("oh,hwcn->owcn", mh, s32,
+                        preferred_element_type=jnp.float32)
+    pooled = jnp.einsum("ow,hwcn->hocn", mw, pooled,
+                        preferred_element_type=jnp.float32)
+    # -> [N, C, 7, 7] flatten (reference NCHW element order), second and
+    # last transpose of the network
+    out = jnp.transpose(pooled, (3, 2, 0, 1))
+    return out.reshape(out.shape[0], -1)
 
 
 def genotype(arch, steps: int = 4, multiplier: int = 4) -> Genotype:

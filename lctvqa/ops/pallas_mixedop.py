@@ -18,15 +18,23 @@ same tensor as NHWC [N,H,W,4] pads its tiles 8-32x), W sits on sublanes
 (spatial shifts are cheap strided slices), H is an untiled leading dim
 (shifts are free row offsets). Depthwise taps arrive as full-width
 [T, Cs*N] coefficient rows (per-channel values repeated N times, built
-once outside), so every kernel memory op is lane-full — no per-channel
-slicing in the tap loops. Per-(branch, channel) BN statistics and mixture
-coefficients are scalars held in registers.
+once outside), so every kernel memory op is lane-full. The input is
+written once into a haloed VMEM scratch, so every conv/pool tap is an
+ALIGNED read and a depthwise conv is a pure value-chain sum — never a
+read-modify-write per tap (an earlier version did that and burned ~10x
+the necessary VMEM traffic).
 
-Branch schedule (one branch temporary at a time, ~3 slabs live):
-  for each branch b:  o_b = branch(x)          # VMEM slab
-                      mean/var_c over its N-group lanes -> coef scalars
-                      acc += coef_bc * o_b ; bias_c += coef_bc * mean_bc
-  out = acc - bias  (+ alpha_skip * x for the identity term)
+All row-dimension work runs in `lax.fori_loop` chunks of CH rows: Mosaic
+fully unrolls vector ops into vregs, so full-slab expressions at cell-0
+sizes ([64, 64, 256]) made the compiler take >25 minutes; with chunked
+bodies only one chunk's ops are compiled.
+
+Gradients: a custom_vjp pairs the forward with a backward kernel that
+recomputes the forward in VMEM (flash-attention style — the residuals are
+just the inputs) and emits COLUMNAR gradients (per-[C*N]-column
+reductions), so the cotangent of the widened tap rows flows back through
+_pack_params' jnp.repeat with no in-kernel scalar packing. First-order
+only (custom_vjp has no JVP rule): the architects exclude this path.
 """
 
 from __future__ import annotations
@@ -35,7 +43,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +56,7 @@ BRANCHES = (
     ("dil_conv_5x5", 5, 2, False),
 )
 MAXT = 25
+PAD = 4  # halo: max offset of any tap (dil5: (5-1)//2*2)
 
 
 def _tap_offsets(kk: int, dil: int):
@@ -57,17 +65,116 @@ def _tap_offsets(kk: int, dil: int):
             for dw in range(-half, half + 1, dil)]
 
 
-def _shift_slices(h: int, w: int, dh: int, dw: int):
-    """Zero-padded shift: out[oh, ow] += x[oh+dh, ow+dw] over the valid
-    region. Returns (out_h, out_w, in_h, in_w) static slices."""
-    oh = slice(max(0, -dh), h - max(0, dh))
-    ow = slice(max(0, -dw), w - max(0, dw))
-    ih = slice(max(0, dh), h + min(0, dh))
-    iw = slice(max(0, dw), w + min(0, dw))
-    return oh, ow, ih, iw
+def _chunk_rows(h: int, w: int, cn: int) -> int:
+    """Rows per fori_loop chunk: ~256K elements per chunk body keeps the
+    Mosaic vreg unrolling bounded (compile ~1 min/kernel) while small
+    shapes run as a single chunk (no loop overhead — measured faster)."""
+    ch = max(1, min(h, 262144 // (w * cn)))
+    while h % ch:
+        ch -= 1
+    return ch
 
 
-PAD = 4  # halo: max offset of any tap (dil5: (5-1)//2*2)
+class _Ctx:
+    """Shared chunked-loop helpers over the [H, W, C*N] row dimension."""
+
+    def __init__(self, H, W, C, N):
+        self.H, self.W, self.C, self.N = H, W, C, N
+        self.cn = C * N
+        self.ch = _chunk_rows(H, W, self.cn)
+        self.nck = H // self.ch
+        self.inv_cnt = 1.0 / float(H * W * N)
+
+    def loop(self, body):
+        """body(r0) for r0 = 0, CH, ..., H-CH (dynamic row starts)."""
+        ch = self.ch
+        jax.lax.fori_loop(0, self.nck,
+                          lambda i, c: (body(i * ch), c)[1], 0)
+
+    def reduce2(self, chunk_fn):
+        """Sum chunk_fn(r0) -> ([1,cn], [1,cn]) partials over all rows."""
+        z = jnp.zeros((1, self.cn), jnp.float32)
+
+        def b(i, carry):
+            a, q = chunk_fn(i * self.ch)
+            return carry[0] + a, carry[1] + q
+
+        return jax.lax.fori_loop(0, self.nck, b, (z, z))
+
+    def seg(self, vec, c):
+        return jnp.sum(vec[:, c * self.N:(c + 1) * self.N])
+
+    def cvec(self, scalars):
+        """[1,1,cn] broadcast vector from per-channel scalars."""
+        return jnp.concatenate(
+            [jnp.full((1, 1, self.N), s, jnp.float32) for s in scalars],
+            axis=2)
+
+    def fill_halo(self, halo_ref, chunk_fn, border):
+        """halo <- border-padded value; chunk_fn(r0) -> (CH, W, cn)."""
+        H, W, cn, ch = self.H, self.W, self.cn, self.ch
+        wp = W + 2 * PAD
+        halo_ref[0:PAD] = jnp.full((PAD, wp, cn), border, halo_ref.dtype)
+        halo_ref[PAD + H:] = jnp.full((PAD, wp, cn), border,
+                                      halo_ref.dtype)
+
+        def body(r0):
+            halo_ref[pl.ds(PAD + r0, ch), :, :] = jnp.full(
+                (ch, wp, cn), border, halo_ref.dtype)
+            halo_ref[pl.ds(PAD + r0, ch), PAD:PAD + W, :] = \
+                chunk_fn(r0).astype(halo_ref.dtype)
+
+        self.loop(body)
+
+    def tap(self, halo_ref, r0, dh, dw):
+        """(CH, W, cn) aligned read at tap offset (dh, dw)."""
+        return halo_ref[pl.ds(PAD + r0 + dh, self.ch),
+                        PAD + dw:PAD + dw + self.W, :]
+
+    def dw_chunk(self, halo_ref, dw_ref, taps, kidx, r0):
+        """Depthwise-conv value chain for one row chunk -> (CH,W,cn) f32."""
+        acc = None
+        for t, (dh, dw) in enumerate(taps):
+            v = self.tap(halo_ref, r0, dh, dw).astype(jnp.float32) \
+                * dw_ref[kidx, t, :]
+            acc = v if acc is None else acc + v
+        return acc
+
+    def pw_chunk(self, src_ref, pw_ref, kidx, r0, transpose=False):
+        """Pointwise conv for one row chunk -> (CH,W,cn) f32.
+        transpose=True applies the transposed matrix (backward)."""
+        C, N, ch = self.C, self.N, self.ch
+        outs = []
+        for co in range(C):
+            acc = None
+            for ci in range(C):
+                s = (pw_ref[kidx, co, ci] if transpose
+                     else pw_ref[kidx, ci, co])
+                v = src_ref[pl.ds(r0, ch), :, ci * N:(ci + 1) * N] \
+                    .astype(jnp.float32) * s
+                acc = v if acc is None else acc + v
+            outs.append(acc)
+        return jnp.concatenate(outs, axis=2)
+
+    def colsums(self, ref):
+        """(sum, sumsq) per column over all rows -> ([1,cn], [1,cn])."""
+        ch = self.ch
+
+        def chunk(r0):
+            v = ref[pl.ds(r0, ch), :, :].astype(jnp.float32)
+            return (jnp.sum(v, axis=(0, 1))[None, :],
+                    jnp.sum(v * v, axis=(0, 1))[None, :])
+
+        return self.reduce2(chunk)
+
+    def channel_stats(self, ref):
+        s, q = self.colsums(ref)
+        stats = []
+        for c in range(self.C):
+            m = self.seg(s, c) * self.inv_cnt
+            v = self.seg(q, c) * self.inv_cnt - m * m
+            stats.append((m, v))
+        return stats
 
 
 def _kernel(x_ref, dw_ref, pw_ref, alpha_ref, out_ref, xp_ref, o_ref,
@@ -76,121 +183,101 @@ def _kernel(x_ref, dw_ref, pw_ref, alpha_ref, out_ref, xp_ref, o_ref,
     stage1 of branch b, 2b+1 = stage2; per-channel taps repeated N-wide);
     pw_ref [8, C, C] f32 in SMEM; alpha_ref [8] f32 in SMEM (PRIMITIVES
     order: none, max_pool, avg_pool, skip, sep3, sep5, dil3, dil5);
-    out_ref [H,W,C*N] f32.
+    out_ref [H,W,C*N] f32. Scratch: xp haloed input (compute dtype),
+    o slab (compute dtype), t slab (f32)."""
+    cx = _Ctx(H, W, C, N)
+    ch = cx.ch
+    f32 = jnp.float32
+    bias_vecs = []                     # [1,1,cn] vectors, summed at the end
 
-    Scratch: xp [H+2P, W+2P, C*N] haloed input at the compute dtype —
-    every conv/pool tap is then an ALIGNED full [H,W,C*N] read, so a
-    depthwise conv is a pure value-chain sum (register-streamed by
-    Mosaic), never a read-modify-write per tap (the v1 kernel did that
-    and burned ~10x the necessary VMEM traffic). o / t are [H,W,C*N]
-    slabs (compute dtype / fp32 accumulator)."""
-    cn = C * N
-    inv_cnt = 1.0 / float(H * W * N)
-    bias = [jnp.float32(0.0)] * C                          # register scalars
+    def branch_stage(halo_ref, taps, kidx):
+        """o <- pw(dw(halo)); t holds the dw output (kept for reuse)."""
+        def body(r0):
+            t_ref[pl.ds(r0, ch)] = cx.dw_chunk(halo_ref, dw_ref, taps,
+                                               kidx, r0)
+        cx.loop(body)
 
-    def fill_halo(value, border):
-        xp_ref[:] = jnp.full((H + 2 * PAD, W + 2 * PAD, cn), border,
-                             xp_ref.dtype)
-        xp_ref[PAD:PAD + H, PAD:PAD + W, :] = value.astype(xp_ref.dtype)
+        def body2(r0):
+            o_ref[pl.ds(r0, ch)] = cx.pw_chunk(t_ref, pw_ref, kidx, r0) \
+                .astype(o_ref.dtype)
+        cx.loop(body2)
 
-    def tap_read(dh, dw):
-        return xp_ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :]
+    def fold(ref, alpha):
+        stats = cx.channel_stats(ref)
+        coefs, biases = [], []
+        for mean, var in stats:
+            r = jax.lax.rsqrt(var + EPS)
+            coefs.append(alpha * r)
+            biases.append(alpha * r * mean)
+        coef_vec = cx.cvec(coefs)
+        bias_vecs.append(cx.cvec(biases))
 
-    def dw_to_t(taps, kidx):
-        """t = depthwise(xp): value-chain of aligned shifted reads."""
-        acc = None
-        for t, (dh, dw) in enumerate(taps):
-            v = tap_read(dh, dw).astype(jnp.float32) * dw_ref[kidx, t, :]
-            acc = v if acc is None else acc + v
-        t_ref[:] = acc
-
-    def pw_to_o(kidx):
-        """o[co] = sum_ci pw[kidx, ci, co] * t[ci] (1x1 conv)."""
-        for co in range(C):
-            acc = t_ref[:, :, 0:N] * pw_ref[kidx, 0, co]
-            for ci in range(1, C):
-                acc += t_ref[:, :, ci * N:(ci + 1) * N] \
-                    * pw_ref[kidx, ci, co]
-            o_ref[:, :, co * N:(co + 1) * N] = acc.astype(o_ref.dtype)
-
-    def channel_stats(ref):
-        """Per-channel (mean, var) over H, W and the channel's N lanes."""
-        x32 = ref[:].astype(jnp.float32)
-        colsum = jnp.sum(x32, axis=(0, 1))                 # [CN]
-        colsq = jnp.sum(jnp.square(x32), axis=(0, 1))
-        stats = []
-        for c in range(C):
-            s = jnp.sum(colsum[c * N:(c + 1) * N]) * inv_cnt
-            sq = jnp.sum(colsq[c * N:(c + 1) * N]) * inv_cnt
-            stats.append((s, sq - s * s))
-        return stats
-
-    def fold_into_mixture(ref, alpha):
-        """out += alpha * rsqrt(var+eps) * o; bias += same * mean."""
-        for c, (mean, var) in enumerate(channel_stats(ref)):
-            coef = alpha * jax.lax.rsqrt(var + EPS)
-            seg = slice(c * N, (c + 1) * N)
-            out_ref[:, :, seg] += ref[:, :, seg].astype(jnp.float32) * coef
-            bias[c] = bias[c] + coef * mean
+        def body(r0):
+            out_ref[pl.ds(r0, ch)] += \
+                ref[pl.ds(r0, ch)].astype(f32) * coef_vec
+        cx.loop(body)
 
     # identity skip term (no BN; stride-1 skip is raw x)
-    out_ref[:] = x_ref[:].astype(jnp.float32) * alpha_ref[3]
+    a_skip = alpha_ref[3]
+    cx.loop(lambda r0: out_ref.__setitem__(
+        pl.ds(r0, ch), x_ref[pl.ds(r0, ch)].astype(f32) * a_skip))
 
     # ---- four depthwise-separable branches: shared halo = relu(x) --------
     xp_is_relu_x = False
     for b, (_, kk, dil, two_stage) in enumerate(BRANCHES):
-        if not xp_is_relu_x:        # (re)build after a stage-2 overwrite
-            fill_halo(jnp.maximum(x_ref[:], 0), 0.0)
+        if not xp_is_relu_x:          # (re)build after a stage-2 overwrite
+            cx.fill_halo(xp_ref, lambda r0: jnp.maximum(
+                x_ref[pl.ds(r0, ch)], 0), 0.0)
             xp_is_relu_x = True
-        dw_to_t(_tap_offsets(kk, dil), 2 * b)              # dw1(relu(x))
-        pw_to_o(2 * b)                                     # pw1 -> o
+        branch_stage(xp_ref, _tap_offsets(kk, dil), 2 * b)
         if two_stage:
             # inner BN (affine-free, own batch stats) + ReLU -> halo
-            stats = channel_stats(o_ref)
-            # [1,1,CN] per-channel vectors (2D+ shapes for TPU lowering)
-            mean_vec = jnp.concatenate(
-                [jnp.full((1, 1, N), m, jnp.float32) for m, _ in stats],
-                axis=2)
-            rstd_vec = jnp.concatenate(
-                [jnp.full((1, 1, N), jax.lax.rsqrt(v + EPS), jnp.float32)
-                 for _, v in stats], axis=2)
-            fill_halo(jnp.maximum(
-                (o_ref[:].astype(jnp.float32) - mean_vec) * rstd_vec, 0),
-                0.0)
+            stats = cx.channel_stats(o_ref)
+            mean_vec = cx.cvec([m for m, _ in stats])
+            rstd_vec = cx.cvec([jax.lax.rsqrt(v + EPS) for _, v in stats])
+            cx.fill_halo(xp_ref, lambda r0: jnp.maximum(
+                (o_ref[pl.ds(r0, ch)].astype(f32) - mean_vec) * rstd_vec,
+                0), 0.0)
             xp_is_relu_x = False
-            dw_to_t(_tap_offsets(kk, 1), 2 * b + 1)        # dw2
-            pw_to_o(2 * b + 1)                             # pw2 -> o
-        fold_into_mixture(o_ref, alpha_ref[4 + b])
+            branch_stage(xp_ref, _tap_offsets(kk, 1), 2 * b + 1)
+        fold(o_ref, alpha_ref[4 + b])
 
     # ---- max pool 3x3 (stride 1, pad 1; final BN folded) -----------------
-    fill_halo(x_ref[:], -jnp.inf)
-    acc = None
-    for dh, dw in _tap_offsets(3, 1):
-        v = tap_read(dh, dw).astype(jnp.float32)
-        acc = v if acc is None else jnp.maximum(acc, v)
-    o_ref[:] = acc.astype(o_ref.dtype)
-    fold_into_mixture(o_ref, alpha_ref[1])
+    taps3 = _tap_offsets(3, 1)
+    cx.fill_halo(xp_ref, lambda r0: x_ref[pl.ds(r0, ch)], -jnp.inf)
+
+    def maxbody(r0):
+        acc = None
+        for dh, dw in taps3:
+            v = cx.tap(xp_ref, r0, dh, dw).astype(f32)
+            acc = v if acc is None else jnp.maximum(acc, v)
+        o_ref[pl.ds(r0, ch)] = acc.astype(o_ref.dtype)
+    cx.loop(maxbody)
+    fold(o_ref, alpha_ref[1])
 
     # ---- avg pool 3x3 (count_include_pad=False) --------------------------
-    fill_halo(x_ref[:], 0.0)
-    acc = None
-    for dh, dw in _tap_offsets(3, 1):
-        v = tap_read(dh, dw).astype(jnp.float32)
-        acc = v if acc is None else acc + v
-    # divide by the per-position valid-window count (3 interior, 2 edge);
-    # built from iota compares — .at[].set would lower to scatter, which
-    # Mosaic does not support
-    ih_idx = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
-    iw_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    cnt_h = jnp.where((ih_idx == 0) | (ih_idx == H - 1), 2.0, 3.0)
-    cnt_w = jnp.where((iw_idx == 0) | (iw_idx == W - 1), 2.0, 3.0)
-    o_ref[:] = (acc / (cnt_h * cnt_w)).astype(o_ref.dtype)
-    fold_into_mixture(o_ref, alpha_ref[2])
+    cx.fill_halo(xp_ref, lambda r0: x_ref[pl.ds(r0, ch)], 0.0)
 
-    # ---- subtract the folded-BN bias per channel -------------------------
-    for c in range(C):
-        seg = slice(c * N, (c + 1) * N)
-        out_ref[:, :, seg] -= bias[c]
+    def avgbody(r0):
+        acc = None
+        for dh, dw in taps3:
+            v = cx.tap(xp_ref, r0, dh, dw).astype(f32)
+            acc = v if acc is None else acc + v
+        # per-position valid-window count (3 interior, 2 at the borders)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0) + r0
+        widx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        cnt_h = jnp.where((ridx == 0) | (ridx == H - 1), 2.0, 3.0)
+        cnt_w = jnp.where((widx == 0) | (widx == W - 1), 2.0, 3.0)
+        o_ref[pl.ds(r0, ch)] = (acc / (cnt_h * cnt_w)).astype(o_ref.dtype)
+    cx.loop(avgbody)
+    fold(o_ref, alpha_ref[2])
+
+    # ---- subtract the folded-BN biases ----------------------------------
+    bias_total = bias_vecs[0]
+    for v in bias_vecs[1:]:
+        bias_total = bias_total + v
+    cx.loop(lambda r0: out_ref.__setitem__(
+        pl.ds(r0, ch), out_ref[pl.ds(r0, ch)] - bias_total))
 
 
 def _pack_params(p, C: int, N: int) -> tuple[jax.Array, jax.Array]:
@@ -218,9 +305,12 @@ def _pack_params(p, C: int, N: int) -> tuple[jax.Array, jax.Array]:
     return dws, pws
 
 
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def mixed_op_pallas_hwcn(x_hwcn, dws, pws, alphas, C: int, N: int,
                          interpret: bool = False):
-    """Raw kernel call on the [H, W, C*N] layout (see module doc)."""
+    """Raw forward kernel call on the [H, W, C*N] layout."""
     H, W, cn = x_hwcn.shape
     assert cn == C * N
     kern = functools.partial(_kernel, H=H, W=W, C=C, N=N)
@@ -242,21 +332,13 @@ def mixed_op_pallas_hwcn(x_hwcn, dws, pws, alphas, C: int, N: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[halo, slab, slab32],
-        # ~9 MB of named slabs + full-slab fp32 temporaries exceed the
-        # conservative 16 MB scoped-vmem default at cell-0 sizes; v5e has
-        # 128 MiB of physical VMEM
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(x_hwcn, dws, pws, alphas)
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel. Recomputes the forward in VMEM (flash-attention style —
-# the custom_vjp residuals are just the inputs) and emits COLUMNAR
-# gradients: per-[C*N]-column reductions, so the cotangent of the widened
-# tap rows flows back through _pack_params' jnp.repeat (which sums the
-# N-groups) with no in-kernel scalar packing.
+# Backward kernel
 # ---------------------------------------------------------------------------
 
 
@@ -269,196 +351,224 @@ def _bwd_kernel(x_ref, dw_ref, pw_ref, alpha_ref, g_ref,
     dpw_ref is [8, C(co), C*N] columnar: entry (kidx, co, ci*N+n) =
     sum_hw t[ci]*do[co]; the wrapper sums the N-groups and transposes to
     the [ci, co] parameter layout. ddw_ref rows are full-width colsums
-    (the true cotangent of the [T, C*N] widened taps).
+    (the true cotangent of the [T, C*N] widened taps). dalpha is [1, 8].
     """
-    cn = C * N
-    inv_cnt = 1.0 / float(H * W * N)
+    cx = _Ctx(H, W, C, N)
+    ch = cx.ch
+    cn = cx.cn
     f32 = jnp.float32
 
     ddw_ref[:] = jnp.zeros((8, MAXT, cn), f32)
     dpw_ref[:] = jnp.zeros((8, C, cn), f32)
-    dxp_ref[:] = jnp.zeros((H + 2 * PAD, W + 2 * PAD, cn), f32)
+    cx.fill_halo(dxp_ref, lambda r0: jnp.zeros((ch, W, cn), f32), 0.0)
     dalpha = [jnp.float32(0.0)] * 8
 
-    def fill(ref, value, border):
-        ref[:] = jnp.full((H + 2 * PAD, W + 2 * PAD, cn), border,
-                          ref.dtype)
-        ref[PAD:PAD + H, PAD:PAD + W, :] = value.astype(ref.dtype)
-
-    def tap(ref, dh, dw):
-        return ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :]
-
-    def colsum(v):
-        return jnp.sum(v, axis=(0, 1))                     # [CN]
-
-    def seg(vec, c):
-        return jnp.sum(vec[c * N:(c + 1) * N])
-
-    def cvec(scalars):
-        """[1,1,CN] from per-channel scalars."""
-        return jnp.concatenate(
-            [jnp.full((1, 1, N), s, f32) for s in scalars], axis=2)
-
-    def dw_to_t(src_halo, taps, kidx):
-        acc = None
-        for t, (dh, dw) in enumerate(taps):
-            v = tap(src_halo, dh, dw).astype(f32) * dw_ref[kidx, t, :]
-            acc = v if acc is None else acc + v
-        t_ref[:] = acc
+    def dw_to_t(halo_ref, taps, kidx):
+        cx.loop(lambda r0: t_ref.__setitem__(
+            pl.ds(r0, ch), cx.dw_chunk(halo_ref, dw_ref, taps, kidx, r0)))
 
     def pw_to(dst_ref, kidx):
-        for co in range(C):
-            acc = t_ref[:, :, 0:N] * pw_ref[kidx, 0, co]
-            for ci in range(1, C):
-                acc += t_ref[:, :, ci * N:(ci + 1) * N] \
-                    * pw_ref[kidx, ci, co]
-            dst_ref[:, :, co * N:(co + 1) * N] = acc.astype(dst_ref.dtype)
+        cx.loop(lambda r0: dst_ref.__setitem__(
+            pl.ds(r0, ch),
+            cx.pw_chunk(t_ref, pw_ref, kidx, r0).astype(dst_ref.dtype)))
 
-    def chan_stats_vecs(o32):
-        """Columnar per-channel stats -> (mu_c, var_c lists)."""
-        osum = colsum(o32)
-        osq = colsum(jnp.square(o32))
-        mus, vars_ = [], []
-        for c in range(C):
-            m = seg(osum, c) * inv_cnt
-            v = seg(osq, c) * inv_cnt - m * m
-            mus.append(m)
-            vars_.append(v)
-        return mus, vars_
+    def fold_bwd(o_sl, alpha_idx):
+        """d <- dL/d o for out += alpha*BN(o); accumulates dalpha."""
+        osum, osq = cx.colsums(o_sl)
 
-    def fold_bwd(o32, alpha_idx):
-        """d_ref <- dL/d o for out += alpha*BN(o); accumulates dalpha."""
-        g = g_ref[:]
-        mus, vars_ = chan_stats_vecs(o32)
-        go = colsum(g * o32)
-        gsum = colsum(g)
+        def gchunk(r0):
+            g = g_ref[pl.ds(r0, ch)]
+            o32 = o_sl[pl.ds(r0, ch)].astype(f32)
+            return (jnp.sum(g, axis=(0, 1))[None, :],
+                    jnp.sum(g * o32, axis=(0, 1))[None, :])
+        gsum, go = cx.reduce2(gchunk)
+
         a = alpha_ref[alpha_idx]
-        coefs, gbars, k2s = [], [], []
+        coefs, gbars, k2s, mus = [], [], [], []
         dal = jnp.float32(0.0)
         for c in range(C):
-            r = jax.lax.rsqrt(vars_[c] + EPS)
-            s_c = seg(go, c) - mus[c] * seg(gsum, c)
+            mu = cx.seg(osum, c) * cx.inv_cnt
+            var = cx.seg(osq, c) * cx.inv_cnt - mu * mu
+            r = jax.lax.rsqrt(var + EPS)
+            s_c = cx.seg(go, c) - mu * cx.seg(gsum, c)
             dal += r * s_c
+            mus.append(mu)
             coefs.append(a * r)
-            gbars.append(seg(gsum, c) * inv_cnt)
-            k2s.append(r * r * s_c * inv_cnt)
+            gbars.append(cx.seg(gsum, c) * cx.inv_cnt)
+            k2s.append(r * r * s_c * cx.inv_cnt)
         dalpha[alpha_idx] = dalpha[alpha_idx] + dal
-        d_ref[:] = cvec(coefs) * (g - cvec(gbars)
-                                  - (o32 - cvec(mus)) * cvec(k2s))
+        coefv, gbarv = cx.cvec(coefs), cx.cvec(gbars)
+        muv, k2v = cx.cvec(mus), cx.cvec(k2s)
+
+        def body(r0):
+            g = g_ref[pl.ds(r0, ch)]
+            o32 = o_sl[pl.ds(r0, ch)].astype(f32)
+            d_ref[pl.ds(r0, ch)] = coefv * (g - gbarv - (o32 - muv) * k2v)
+        cx.loop(body)
 
     def pw_bwd(kidx):
-        """Reads t (stage input) + d (output cotangent); writes the
-        columnar dpw rows, then overwrites t with the input cotangent."""
+        """Reads t (stage input) + d (output cotangent); writes columnar
+        dpw rows, then overwrites t with the input cotangent."""
         for co in range(C):
-            dsl = d_ref[:, :, co * N:(co + 1) * N]
-            tiled = jnp.concatenate([dsl] * C, axis=2)
-            dpw_ref[kidx, co, :] = colsum(t_ref[:] * tiled)
-        for ci in range(C):
-            acc = d_ref[:, :, 0:N] * pw_ref[kidx, ci, 0]
-            for co in range(1, C):
-                acc += d_ref[:, :, co * N:(co + 1) * N] \
-                    * pw_ref[kidx, ci, co]
-            t_ref[:, :, ci * N:(ci + 1) * N] = acc
+            def chunk(r0, co=co):
+                dsl = d_ref[pl.ds(r0, ch), :, co * N:(co + 1) * N]
+                tiled = jnp.concatenate([dsl] * C, axis=2)
+                v = t_ref[pl.ds(r0, ch)] * tiled
+                return (jnp.sum(v, axis=(0, 1))[None, :],
+                        jnp.zeros((1, cn), f32))
+            total, _ = cx.reduce2(chunk)
+            dpw_ref[kidx, co, :] = total[0, :]
+        cx.loop(lambda r0: t_ref.__setitem__(
+            pl.ds(r0, ch),
+            cx.pw_chunk(d_ref, pw_ref, kidx, r0, transpose=True)))
 
     def dw_bwd(src_halo, taps, kidx):
         """Reads t (= dt, the dw output cotangent) + src halo; writes the
         ddw tap rows, then d <- the dw input cotangent."""
         for t, (dh, dw) in enumerate(taps):
-            ddw_ref[kidx, t, :] = colsum(
-                tap(src_halo, dh, dw).astype(f32) * t_ref[:])
-        fill(gp_ref, t_ref[:], 0.0)
-        acc = None
-        for t, (dh, dw) in enumerate(taps):
-            v = tap(gp_ref, -dh, -dw) * dw_ref[kidx, t, :]
-            acc = v if acc is None else acc + v
-        d_ref[:] = acc
+            def chunk(r0, dh=dh, dw=dw):
+                v = cx.tap(src_halo, r0, dh, dw).astype(f32) \
+                    * t_ref[pl.ds(r0, ch)]
+                return (jnp.sum(v, axis=(0, 1))[None, :],
+                        jnp.zeros((1, cn), f32))
+            total, _ = cx.reduce2(chunk)
+            ddw_ref[kidx, t, :] = total[0, :]
+        cx.fill_halo(gp_ref, lambda r0: t_ref[pl.ds(r0, ch)], 0.0)
+
+        def body(r0):
+            acc = None
+            for t, (dh, dw) in enumerate(taps):
+                v = cx.tap(gp_ref, r0, -dh, -dw) * dw_ref[kidx, t, :]
+                acc = v if acc is None else acc + v
+            d_ref[pl.ds(r0, ch)] = acc
+        cx.loop(body)
 
     # ---- branches --------------------------------------------------------
-    fill(xp_ref, jnp.maximum(x_ref[:], 0), 0.0)            # relu(x) halo
+    cx.fill_halo(xp_ref, lambda r0: jnp.maximum(x_ref[pl.ds(r0, ch)], 0),
+                 0.0)
     for b, (_, kk, dil, two_stage) in enumerate(BRANCHES):
         taps1 = _tap_offsets(kk, dil)
         # recompute forward (same materialization points as the fwd kernel)
         dw_to_t(xp_ref, taps1, 2 * b)
         pw_to(y_ref, 2 * b)                                # y1 (or dil o)
         if two_stage:
-            y32 = y_ref[:].astype(f32)
-            mus1, vars1 = chan_stats_vecs(y32)
-            mu1v = cvec(mus1)
-            r1v = cvec([jax.lax.rsqrt(v + EPS) for v in vars1])
-            xhat = (y32 - mu1v) * r1v
+            stats1 = cx.channel_stats(y_ref)
+            mu1v = cx.cvec([m for m, _ in stats1])
+            r1v = cx.cvec([jax.lax.rsqrt(v + EPS) for _, v in stats1])
             taps2 = _tap_offsets(kk, 1)
-            fill(zp_ref, jnp.maximum(xhat, 0), 0.0)        # z halo
+            cx.fill_halo(zp_ref, lambda r0: jnp.maximum(
+                (y_ref[pl.ds(r0, ch)].astype(f32) - mu1v) * r1v, 0), 0.0)
             dw_to_t(zp_ref, taps2, 2 * b + 1)
             pw_to(o_ref, 2 * b + 1)
             # backward
-            fold_bwd(o_ref[:].astype(f32), 4 + b)
+            fold_bwd(o_ref, 4 + b)
             pw_bwd(2 * b + 1)
             dw_bwd(zp_ref, taps2, 2 * b + 1)
-            # relu + inner-BN backward: d_ref = dz -> dy1
-            xhat = (y_ref[:].astype(f32) - mu1v) * r1v     # recompute
-            dzp = d_ref[:] * (xhat > 0)
-            s1 = colsum(dzp)
-            s2 = colsum(dzp * xhat)
-            m1v = cvec([seg(s1, c) * inv_cnt for c in range(C)])
-            m2v = cvec([seg(s2, c) * inv_cnt for c in range(C)])
-            d_ref[:] = r1v * (dzp - m1v - xhat * m2v)
+            # relu + inner-BN backward: d = dz -> dy1
+            def schunk(r0):
+                xhat = (y_ref[pl.ds(r0, ch)].astype(f32) - mu1v) * r1v
+                dzp = d_ref[pl.ds(r0, ch)] * (xhat > 0)
+                return (jnp.sum(dzp, axis=(0, 1))[None, :],
+                        jnp.sum(dzp * xhat, axis=(0, 1))[None, :])
+            s1, s2 = cx.reduce2(schunk)
+            m1v = cx.cvec([cx.seg(s1, c) * cx.inv_cnt for c in range(C)])
+            m2v = cx.cvec([cx.seg(s2, c) * cx.inv_cnt for c in range(C)])
+
+            def bnbody(r0):
+                xhat = (y_ref[pl.ds(r0, ch)].astype(f32) - mu1v) * r1v
+                dzp = d_ref[pl.ds(r0, ch)] * (xhat > 0)
+                d_ref[pl.ds(r0, ch)] = r1v * (dzp - m1v - xhat * m2v)
+            cx.loop(bnbody)
             # pw1 backward needs t1 = dw1(relu x) again
             dw_to_t(xp_ref, taps1, 2 * b)
             pw_bwd(2 * b)
             dw_bwd(xp_ref, taps1, 2 * b)
         else:
-            fold_bwd(y_ref[:].astype(f32), 4 + b)
+            fold_bwd(y_ref, 4 + b)
             pw_bwd(2 * b)
             dw_bwd(xp_ref, taps1, 2 * b)
         # through the shared relu(x): mask and accumulate into dx
-        dxp_ref[PAD:PAD + H, PAD:PAD + W, :] += \
-            d_ref[:] * (x_ref[:].astype(f32) > 0)
+
+        def relubody(r0):
+            dxp_ref[pl.ds(PAD + r0, ch), PAD:PAD + W, :] += \
+                d_ref[pl.ds(r0, ch)] * (x_ref[pl.ds(r0, ch)]
+                                        .astype(f32) > 0)
+        cx.loop(relubody)
 
     # ---- max pool --------------------------------------------------------
     taps3 = _tap_offsets(3, 1)
-    fill(zp_ref, x_ref[:], -jnp.inf)                       # raw-x halo
-    acc = None
+    cx.fill_halo(zp_ref, lambda r0: x_ref[pl.ds(r0, ch)], -jnp.inf)
+
+    def maxbody(r0):
+        acc = None
+        for dh, dw in taps3:
+            v = cx.tap(zp_ref, r0, dh, dw).astype(f32)
+            acc = v if acc is None else jnp.maximum(acc, v)
+        t_ref[pl.ds(r0, ch)] = acc                         # maxval f32
+        # the fwd folded the bf16-materialized max — stats/grads match it
+        o_ref[pl.ds(r0, ch)] = acc.astype(o_ref.dtype)
+        y_ref[pl.ds(r0, ch)] = jnp.ones((ch, W, cn), y_ref.dtype)
+    cx.loop(maxbody)
+    fold_bwd(o_ref, 1)
     for dh, dw in taps3:
-        v = tap(zp_ref, dh, dw).astype(f32)
-        acc = v if acc is None else jnp.maximum(acc, v)
-    t_ref[:] = acc                                         # maxval f32
-    y_ref[:] = jnp.ones((H, W, cn), y_ref.dtype)           # remaining mask
-    # the fwd folded the bf16-materialized max — stats/grads match that
-    o_ref[:] = acc.astype(o_ref.dtype)
-    fold_bwd(o_ref[:].astype(f32), 1)
-    for dh, dw in taps3:
-        eq = tap(zp_ref, dh, dw).astype(f32) == t_ref[:]
-        # compare in f32 — Mosaic has no bf16 vector cmp on this target
-        take = jnp.logical_and(eq, y_ref[:].astype(f32) > 0.5)
-        dxp_ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :] += \
-            jnp.where(take, d_ref[:], 0.0)
-        y_ref[:] = jnp.where(take, 0.0, y_ref[:].astype(f32)) \
-            .astype(y_ref.dtype)
+        def scatbody(r0, dh=dh, dw=dw):
+            eq = cx.tap(zp_ref, r0, dh, dw).astype(f32) \
+                == t_ref[pl.ds(r0, ch)]
+            # f32 compare — Mosaic has no bf16 vector cmp on this target
+            rem = y_ref[pl.ds(r0, ch)].astype(f32)
+            take = jnp.logical_and(eq, rem > 0.5)
+            dxp_ref[pl.ds(PAD + r0 + dh, ch),
+                    PAD + dw:PAD + dw + W, :] += \
+                jnp.where(take, d_ref[pl.ds(r0, ch)], 0.0)
+            y_ref[pl.ds(r0, ch)] = jnp.where(take, 0.0, rem) \
+                .astype(y_ref.dtype)
+        cx.loop(scatbody)
 
     # ---- avg pool --------------------------------------------------------
-    fill(zp_ref, x_ref[:], 0.0)
-    acc = None
+    cx.fill_halo(zp_ref, lambda r0: x_ref[pl.ds(r0, ch)], 0.0)
+
+    def avgbody(r0):
+        acc = None
+        for dh, dw in taps3:
+            v = cx.tap(zp_ref, r0, dh, dw).astype(f32)
+            acc = v if acc is None else acc + v
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0) + r0
+        widx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        cnt_h = jnp.where((ridx == 0) | (ridx == H - 1), 2.0, 3.0)
+        cnt_w = jnp.where((widx == 0) | (widx == W - 1), 2.0, 3.0)
+        o_ref[pl.ds(r0, ch)] = (acc / (cnt_h * cnt_w)).astype(o_ref.dtype)
+    cx.loop(avgbody)
+    fold_bwd(o_ref, 2)
+
+    def divbody(r0):
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0) + r0
+        widx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
+        cnt_h = jnp.where((ridx == 0) | (ridx == H - 1), 2.0, 3.0)
+        cnt_w = jnp.where((widx == 0) | (widx == W - 1), 2.0, 3.0)
+        d_ref[pl.ds(r0, ch)] = d_ref[pl.ds(r0, ch)] / (cnt_h * cnt_w)
+    cx.loop(divbody)
     for dh, dw in taps3:
-        v = tap(zp_ref, dh, dw).astype(f32)
-        acc = v if acc is None else acc + v
-    ih_idx = jax.lax.broadcasted_iota(jnp.int32, (H, 1, 1), 0)
-    iw_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W, 1), 1)
-    cnt_h = jnp.where((ih_idx == 0) | (ih_idx == H - 1), 2.0, 3.0)
-    cnt_w = jnp.where((iw_idx == 0) | (iw_idx == W - 1), 2.0, 3.0)
-    cnt = cnt_h * cnt_w
-    o_ref[:] = (acc / cnt).astype(o_ref.dtype)
-    fold_bwd(o_ref[:].astype(f32), 2)
-    d_ref[:] = d_ref[:] / cnt
-    for dh, dw in taps3:
-        dxp_ref[PAD + dh:PAD + dh + H, PAD + dw:PAD + dw + W, :] += \
-            d_ref[:]
+        def avgscat(r0, dh=dh, dw=dw):
+            dxp_ref[pl.ds(PAD + r0 + dh, ch),
+                    PAD + dw:PAD + dw + W, :] += d_ref[pl.ds(r0, ch)]
+        cx.loop(avgscat)
 
     # ---- identity skip + finalize ---------------------------------------
-    g = g_ref[:]
-    x32 = x_ref[:].astype(f32)
-    dxp_ref[PAD:PAD + H, PAD:PAD + W, :] += g * alpha_ref[3]
-    dalpha[3] = jnp.sum(colsum(g * x32))
-    dx_ref[:] = dxp_ref[PAD:PAD + H, PAD:PAD + W, :]
+    def skipchunk(r0):
+        g = g_ref[pl.ds(r0, ch)]
+        return (jnp.sum(g * x_ref[pl.ds(r0, ch)].astype(f32),
+                        axis=(0, 1))[None, :],
+                jnp.zeros((1, cn), f32))
+    gx, _ = cx.reduce2(skipchunk)
+    dalpha[3] = jnp.sum(gx)
+    a_skip = alpha_ref[3]
+
+    def finbody(r0):
+        dxp_ref[pl.ds(PAD + r0, ch), PAD:PAD + W, :] += \
+            g_ref[pl.ds(r0, ch)] * a_skip
+        dx_ref[pl.ds(r0, ch)] = dxp_ref[pl.ds(PAD + r0, ch),
+                                        PAD:PAD + W, :]
+    cx.loop(finbody)
     dalpha_ref[0, :] = jnp.stack(dalpha)
 
 
@@ -493,8 +603,7 @@ def _mixed_bwd_call(xt, dws, pws, alphas, g, C: int, N: int,
         ),
         scratch_shapes=[halo, halo, halo32, halo32, slab32, slab, slab,
                         slab32],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(xt, dws, pws, alphas, g)
 
