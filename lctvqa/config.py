@@ -67,15 +67,17 @@ class ModelConfig:
     # HBM traffic the search net is bound on. Forced off when
     # bn_eval_stats is on (that mode needs explicit batchnorm calls).
     fold_bn_mixture: bool = True
-    # Run each stride-1 mixed op as ONE Pallas kernel (ops/pallas_mixedop):
-    # all branches + pools + folded BNs + alpha mixture in VMEM, lane-exact
-    # [H, W, Cs*N] layout. Measured ~2x the XLA folded path at the cell-0
-    # shape. Applies when: TPU backend, fold_bn active, Cs*N % 128 == 0,
-    # slabs fit VMEM. The custom_vjp pair is first-order only — architect
-    # closures (second-order AD) and multi-chip DP meshes (the kernel
-    # computes per-shard BN stats, breaking the global-batch sync-BN
-    # semantics the mesh tests pin) force it off.
-    pallas_mixed_op: bool = True
+    # Run each stride-1 mixed op as ONE Pallas kernel inside an
+    # [H, W, C, N]-layout trunk (ops/pallas_mixedop, search.py
+    # _network_apply_hwcn): all branches + pools + folded BNs + alpha
+    # mixture in VMEM. STANDALONE the kernel beats XLA up to ~3x at the
+    # cell-0 shape (fwd 0.59 vs 1.12 ms incl dispatch) — but at NETWORK
+    # level it loses (fwd 13.5 vs 8.6 ms, fwd+bwd 62.7 vs 46.9): XLA
+    # overlaps/fuses work ACROSS edges while 44 custom-calls serialize.
+    # Default OFF; kept as a parity-tested opt-in (first-order only —
+    # architect closures force it off; >1-device DP meshes too, since the
+    # kernel computes per-shard BN stats).
+    pallas_mixed_op: bool = False
     # Run the four depthwise-separable mixed-op branches (sep3/5, dil3/5)
     # as ONE packed chain per edge: kernels embedded centered in a shared
     # grouped 9x9 depthwise conv, pointwise convs as one block-diagonal

@@ -32,7 +32,8 @@ def capture(mode: str = "fwdbwd", fold: bool = True):
 
     cfg = ModelConfig(img_size=64, qst_vocab_size=8192, ans_vocab_size=1000,
                       arch_type="darts", compute_dtype="bfloat16",
-                      fold_bn_mixture=fold,
+                      fold_bn_mixture=(fold != "nofold"),
+                      pallas_mixed_op=(fold == "pallasmix"),
                       pack_conv_branches=(fold == "packed"))
     key = jax.random.PRNGKey(0)
     params = search.network_init(key, cfg)
@@ -122,12 +123,8 @@ def parse(log_dir: str):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwdbwd"
-    # argv[2]: 'fold' (default) | 'nofold' | 'packed'
-    fold = sys.argv[2] if len(sys.argv) > 2 else True
-    if fold == "nofold":
-        fold = False
-    elif fold != "packed":
-        fold = True
+    # argv[2]: 'fold' (default) | 'nofold' | 'packed' | 'pallasmix'
+    fold = sys.argv[2] if len(sys.argv) > 2 else "fold"
     d = capture(mode, fold)
     print("trace dir:", d)
     parse(d)
