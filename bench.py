@@ -206,6 +206,14 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
                                              r2)
         return ef_p, ef_o, w_p, w_o, loss2
 
+    # NOTE: this loop threads donated state, so each iteration's dispatch
+    # waits on the previous iteration's output handles — on a tunneled
+    # dispatch path (axon) the measured number includes one host<->device
+    # RTT per step and underestimates pure chip throughput (a
+    # non-donating constant-input variant pipelines the dispatch but
+    # needs 2x the HBM for in+out copies, which OOMs alongside the
+    # inference section's live executables). Treat train_pairs_per_sec
+    # as a conservative lower bound under remote dispatch.
     train_step = pack_step(combined,
                            (p_ef, p_efo, p_w, p_wo, None, None, None),
                            (p_ef, p_efo, p_w, p_wo, None))

@@ -153,6 +153,7 @@ TPU_PEAK_BF16 = {
     "v4": 275e12,
     "v5e": 197e12,
     "v5litepod": 197e12,
+    "v5lite": 197e12,   # axon reports device_kind "TPU v5 lite"
     "v5p": 459e12,
     "v6e": 918e12,
     "trillium": 918e12,
