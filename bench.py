@@ -230,6 +230,41 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
     float(loss2)
     dt = time.perf_counter() - t0
     train_pps = BATCH * iters / dt
+
+    # PURE-CHIP training throughput (round-2 verdict #2): K stage1+stage2
+    # steps inside ONE jitted lax.fori_loop over the packed carries, batch
+    # pre-staged in HBM — exactly one dispatch and one scalar readback
+    # cross the tunnel per K steps, so the number measures the device
+    # program, not the per-step RTT the donating loop above pays.
+    def k_steps(ef_pk, ef_opk, w_pk, w_opk, arch, batch, rng):
+        def body(_, carry):
+            ef_pk, ef_opk, w_pk, w_opk, rng, _loss = carry
+            r1, r2, rng = jax.random.split(rng, 3)
+            ef_p, ef_o = p_ef.unpack(ef_pk), p_efo.unpack(ef_opk)
+            w_p, w_o = p_w.unpack(w_pk), p_wo.unpack(w_opk)
+            ef_p, ef_o, _l1, _, _ = steps["stage1"](ef_p, arch, ef_o,
+                                                    batch, r1)
+            w_p, w_o, l2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
+                                              batch, r2)
+            return (p_ef.pack(ef_p), p_efo.pack(ef_o), p_w.pack(w_p),
+                    p_wo.pack(w_o), rng, l2)
+
+        init = (ef_pk, ef_opk, w_pk, w_opk, rng, jnp.float32(0.0))
+        return jax.lax.fori_loop(0, k_scan, body, init)
+
+    k_scan = 32
+    scan_fn = jax.jit(k_steps, donate_argnums=(0, 1, 2, 3))
+    out = scan_fn(ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
+    ef_pk, ef_opk, w_pk, w_opk, _, loss2 = out
+    float(loss2)                                   # compile + warm
+    repeats = max(1, iters // 8)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = scan_fn(ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
+        ef_pk, ef_opk, w_pk, w_opk, _, loss2 = out
+    float(loss2)
+    dt = time.perf_counter() - t0
+    train_pps_chip = BATCH * k_scan * repeats / dt
     ef_params = p_ef.unpack(ef_pk)  # for the generate bench below
 
     gen = jax.jit(lambda p, a, u8: vqa_ef.ef_generate(
@@ -244,7 +279,8 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
     int(np.asarray(jax.device_get(q))[0, 0])
     dt = time.perf_counter() - t0
     gen_tokens = BATCH * QLEN * iters / dt
-    return {"lct_train_pairs_per_sec": round(train_pps, 2),
+    return {"lct_train_pairs_per_sec": round(train_pps_chip, 2),
+            "lct_train_pairs_per_sec_dispatch": round(train_pps, 2),
             "generate_tokens_per_sec": round(gen_tokens, 2)}
 
 
@@ -298,7 +334,12 @@ def main():
     }
     if not args.skip_train:
         details = train_pairs_per_sec(args.train_iters)
+        # headline train number = the K-steps-per-dispatch (pure-chip)
+        # variant; the per-step-dispatch (tunnel-RTT-bound) number is
+        # reported alongside for the reconciliation record (NOTES.md)
         result["train_pairs_per_sec"] = details["lct_train_pairs_per_sec"]
+        result["train_pairs_per_sec_dispatch"] = \
+            details["lct_train_pairs_per_sec_dispatch"]
         result["generate_tokens_per_sec"] = \
             details["generate_tokens_per_sec"]
         result.update(_mfu_numbers(value,

@@ -429,17 +429,6 @@ def _mixed_fold_packed(p, x, weights, stride: int, dtype,
 PALLAS_MIX_INTERPRET = False
 
 
-def _pallas_eligible_dims(n: int, h: int, w: int, cs: int,
-                          stride: int) -> bool:
-    """Shape gate for the Pallas mixed-op kernel: stride-1, lane-exact
-    channel-major flatten (Cs*N % 128), and the kernel's ~6 working slabs
-    fit VMEM (v5e: 128 MiB physical; we budget 90 MB)."""
-    if stride != 1 or (cs * n) % 128 != 0:
-        return False
-    slab_bytes = (h + 8) * (w + 8) * cs * n * 4
-    return 6 * slab_bytes <= 90 * 1024 * 1024
-
-
 def mixed_op_apply(p, x, weights, stride: int, k: int, dtype,
                    shuffle: bool = True, fold_bn: bool = False,
                    pack: bool = False):
@@ -618,6 +607,15 @@ def network_apply(p, arch, cfg: ModelConfig, x, dtype=None):
     pallas_mix = (cfg.pallas_mixed_op and fold_bn
                   and (jax.default_backend() == "tpu"
                        or PALLAS_MIX_INTERPRET))
+    # Per-shard-BN guard, enforced at the consumer (not just
+    # Experiment.__init__): on a >1-device TPU topology a DP-sharded batch
+    # would give the kernel per-shard batch statistics instead of the
+    # global-batch sync-BN the XLA path computes under pjit
+    # (tests/test_mesh.py pins sharded == single-device). The interpret
+    # hook is exempt — it is a single-array CPU test path.
+    if (pallas_mix and not PALLAS_MIX_INTERPRET
+            and jax.device_count() > 1):
+        pallas_mix = False
     if pallas_mix:
         return _network_apply_hwcn(p, arch, cfg, x, dtype)
     remat = cfg.remat_cells and not cfg.bn_eval_stats
@@ -700,33 +698,34 @@ def channel_shuffle_hwcn(x, groups: int):
     return jnp.swapaxes(x, 2, 3).reshape(h, w, c, n)
 
 
-def _mixed_op_hwcn(p, x, weights, stride: int, k: int, dtype):
-    """mixed_op_apply on an [H, W, C, N] state (shuffle deferred)."""
-    from lctvqa.ops.pallas_mixedop import _mixed_hwcn, _pack_params
+def _mixed_op_hwcn_fallback(p, x, weights, stride: int, k: int, dtype):
+    """mixed_op_apply on an [H, W, C, N] state (shuffle deferred) via a
+    local NHWC round-trip — the path for reduction / VMEM-ineligible
+    edges (12 of 56 edge instances at reference dims)."""
     h, w, c, n = x.shape
     cs = c // k
     xtemp = x[:, :, :cs, :]
     xtemp2 = x[:, :, cs:, :]
     acc = jnp.float32 if dtype is None else dtype
-    if _pallas_eligible_dims(n, h, w, cs, stride):
-        xt = (xtemp.astype(dtype) if dtype is not None else xtemp) \
-            .reshape(h, w, cs * n)                 # free view: N is minor
-        dws, pws = _pack_params(p, cs, n)
-        mix = _mixed_hwcn(xt, dws, pws, weights.astype(jnp.float32),
-                          cs, n, jax.default_backend() != "tpu")
-        mix = mix.reshape(h, w, cs, n)
-    else:
-        # reduction / ineligible edge: local NHWC round-trip (12 of 56
-        # edge instances at reference dims)
-        x_nhwc = jnp.transpose(xtemp, (3, 0, 1, 2))
-        mix = _mixed_fold(p, x_nhwc, weights, stride, dtype)
-        mix = jnp.transpose(mix, (1, 2, 3, 0))
+    x_nhwc = jnp.transpose(xtemp, (3, 0, 1, 2))
+    mix = _mixed_fold(p, x_nhwc, weights, stride, dtype)
+    mix = jnp.transpose(mix, (1, 2, 3, 0))
     rest = xtemp2 if stride == 1 else _max_pool2_hwcn(xtemp2)
     return jnp.concatenate([mix.astype(acc), rest.astype(acc)], axis=2)
 
 
 def cell_apply_hwcn(p, s0, s1, alphas, betas, steps, multiplier, reduction,
                     reduction_prev, k, dtype):
+    """Cell forward on the HWCN trunk with NODE-BATCHED Pallas mixed ops:
+    per node, every VMEM-eligible stride-1 edge joins one (or, when the
+    backward VMEM cap bites, a few) node-kernel invocation(s) that
+    compute sum_j beta_j * mix_j in a single pass (44 -> 14 kernel calls
+    at reference dims); the untouched-channel 3/4 gets a plain XLA
+    beta-weighted sum; reduction/ineligible edges fall back to the NHWC
+    _mixed_fold. Matches `pcdarts/model_search.py:58-91` semantics."""
+    from lctvqa.ops import pallas_mixedop as PM
+
+    interp = jax.default_backend() != "tpu"
     if reduction_prev:
         s0 = _fact_reduce_hwcn(p["pre0"], s0, dtype)
     else:
@@ -737,12 +736,45 @@ def cell_apply_hwcn(p, s0, s1, alphas, betas, steps, multiplier, reduction,
     offset = 0
     for i in range(steps):
         s = None
+        group = []
         for j, hst in enumerate(states):
             stride = 2 if reduction and j < 2 else 1
-            y = betas[offset + j] * _mixed_op_hwcn(
-                p["ops"][offset + j], hst, alphas[offset + j], stride, k,
-                dtype)
-            s = y if s is None else s + y
+            h, w, c, n = hst.shape
+            if PM.node_eligible(h, w, c // k, n, stride, dtype):
+                group.append(j)
+            else:
+                y = betas[offset + j] * _mixed_op_hwcn_fallback(
+                    p["ops"][offset + j], hst, alphas[offset + j], stride,
+                    k, dtype)
+                s = y if s is None else s + y
+        if group:
+            h, w, c, n = states[group[0]].shape
+            cs = c // k
+            acc = jnp.float32 if dtype is None else dtype
+            fwd_cap = max(PM.node_caps(h, w, cs, n, dtype)[0], 1)
+            mix = None
+            for lo in range(0, len(group), fwd_cap):
+                sub = group[lo:lo + fwd_cap]
+                xs = tuple(
+                    (states[j][:, :, :cs, :].astype(dtype)
+                     if dtype is not None else states[j][:, :, :cs, :])
+                    .reshape(h, w, cs * n)       # free view: N is minor
+                    for j in sub)
+                wts = jnp.stack([betas[offset + j] * alphas[offset + j]
+                                 for j in sub])
+                m = PM.mixed_node_pallas_hwcn(
+                    xs, [p["ops"][offset + j] for j in sub], wts, cs, n,
+                    interp)
+                mix = m if mix is None else mix + m
+            rest = None
+            for j in group:
+                r = betas[offset + j] \
+                    * states[j][:, :, cs:, :].astype(jnp.float32)
+                rest = r if rest is None else rest + r
+            part = jnp.concatenate(
+                [mix.reshape(h, w, cs, n).astype(acc), rest.astype(acc)],
+                axis=2)
+            s = part if s is None else s + part
         offset += len(states)
         states.append(channel_shuffle_hwcn(s, k))
     return jnp.concatenate(states[-multiplier:], axis=2)

@@ -487,6 +487,10 @@ class Experiment:
                                                   "val_ef_loss.txt")
         self.val_ef_acc = stats.read_file_in_dir(self.exp_dir,
                                                  "val_ef_acc.txt")
+        self.train_w_loss = stats.read_file_in_dir(self.exp_dir,
+                                                   "train_w_loss.txt")
+        self.train_w_acc = stats.read_file_in_dir(self.exp_dir,
+                                                  "train_w_acc.txt")
 
     def _record_stats(self):
         stats.write_to_file_in_dir(self.exp_dir, "train_ef_loss.txt",

@@ -1,0 +1,179 @@
+"""Search-quality A/B of the LCT architect modes (round-2 verdict #10).
+
+The 'exact' mode includes the direct alpha -> generate -> pseudo-QA
+gradient path that the reference's finite-difference scheme drops;
+'exact-indirect' truncates it the same way the reference does; 'fd'
+replays the reference math literally (optim/architect_lct.py:29-36).
+Gradient-level cross-checks exist in tests/test_architect.py — this
+script asks the OUTCOME question: which mode steers the architecture
+toward a planted optimal op faster?
+
+Planted signal: the answer label is a deterministic function of a 2x2
+checkerboard pattern's presence in the image (amplitude well above the
+noise floor), and the question tokens are uninformative. A 2px parity
+signal survives convolution primitives (sep/dil convs learn a
+high-frequency detector; skip preserves it) but is destroyed by
+avg_pool_3x3 smoothing and distorted by max_pool — so a search that
+works should move normal-edge alpha mass from the pool ops toward the
+conv/skip group. We track, per arch update: the unrolled W' val loss
+(the tri-level objective) and the normal-cell alpha mass on
+conv+skip vs pool ops, plus the decoded genotype at the end.
+
+Run (CPU ok, ~minutes at the tiny dims):
+    PYTHONPATH=/root/repo python scripts/ab_architect_modes.py \
+        [--steps 60] [--modes exact,exact-indirect,fd]
+
+Results are printed as one table row per mode; copy into NOTES.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+
+CONV_SKIP = ("skip_connect", "sep_conv_3x3", "sep_conv_5x5",
+             "sep_conv_7x7", "dil_conv_3x3", "dil_conv_5x5",
+             "conv_7x1_1x7")
+POOLS = ("max_pool_3x3", "avg_pool_3x3")
+
+
+def make_planted_dataset(out_dir: str, n: int = 64, img: int = 32,
+                         seed: int = 0):
+    """Synthetic dataset whose answer is 'yes' iff the image carries a
+    2x2 checkerboard; vocab/h5/npy in the standard on-disk formats."""
+    from lctvqa.data.synthetic import make_dataset
+    import h5py
+
+    make_dataset(out_dir, num_images=n, num_questions=2 * n,
+                 img_size=img, n_answers=8, seed=seed)
+    rng = np.random.RandomState(seed + 1)
+    yy, xx = np.meshgrid(np.arange(img), np.arange(img), indexing="ij")
+    checker = (((yy // 2 + xx // 2) % 2) * 2.0 - 1.0)[..., None]
+    split_has = {}
+    with h5py.File(os.path.join(out_dir, "images.h5"), "r+") as fd:
+        for split in ("train", "val"):
+            imgs = fd[split]["images"][:]
+            m = imgs.shape[0]
+            has = rng.rand(m) < 0.5
+            split_has[split] = has
+            base = rng.randint(96, 160, imgs.shape).astype(np.float64)
+            base += np.where(has[:, None, None, None], 60.0 * checker, 0.0)
+            fd[split]["images"][:] = np.clip(base, 0, 255).astype(np.uint8)
+    # labels follow the planted pattern (answers vocab: idx of yes/no)
+    from lctvqa.text import VocabDict
+    av = VocabDict(os.path.join(out_dir, "vocab_answers.txt"))
+    yes, no = av.word2idx("yes"), av.word2idx("no")
+    with h5py.File(os.path.join(out_dir, "qst-ans.h5"), "r+") as fd:
+        for split in ("train", "val"):
+            img_ids = fd[split]["img_id"][:]
+            with h5py.File(os.path.join(out_dir, "images.h5"), "r") as f2:
+                coco = {int(c): i for i, c in
+                        enumerate(f2[split]["coco_ids"][:])}
+            has = split_has[split]
+            enc = np.zeros_like(fd[split]["enc_ans"][:])
+            for row, iid in enumerate(img_ids):
+                lab = yes if has[coco[int(iid)]] else no
+                enc[row, :] = 0
+                enc[row, lab] = 10
+            fd[split]["enc_ans"][:] = enc
+    return out_dir
+
+
+def alpha_mass(arch, which="alphas_normal"):
+    import jax
+    from lctvqa.models.genotypes import PRIMITIVES
+    a = np.asarray(jax.nn.softmax(np.asarray(arch[which]), axis=-1))
+    conv = sum(a[:, PRIMITIVES.index(p)].mean() for p in CONV_SKIP
+               if p in PRIMITIVES)
+    pool = sum(a[:, PRIMITIVES.index(p)].mean() for p in POOLS)
+    return float(conv), float(pool)
+
+
+def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10):
+    import dataclasses
+
+    import jax
+
+    from lctvqa.config import (Config, DataConfig, MeshConfig, ModelConfig,
+                               TrainConfig)
+    from lctvqa.models import search
+    from lctvqa.text import VocabDict
+    from lctvqa.train.experiment import Experiment
+
+    qv = VocabDict(os.path.join(data_dir, "vocab_questions.txt"))
+    av = VocabDict(os.path.join(data_dir, "vocab_answers.txt"))
+    model = ModelConfig(
+        img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
+        max_qst_len=6, qst_vocab_size=qv.vocab_size,
+        ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
+        darts_layers=1, darts_steps=2, darts_multiplier=2,
+        compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
+    cfg = Config(
+        model=model,
+        train=TrainConfig(batch_size=16, num_epochs=1, arch_update_freq=1,
+                          skip_stage2=False, skip_stage3=False,
+                          report_freq=1000, architect_mode=mode, seed=seed),
+        data=DataConfig(input_dir=data_dir),
+        mesh=MeshConfig(num_devices=1),
+        exp_name=f"ab_{mode}",
+        root_stats_dir=tempfile.mkdtemp(prefix=f"ab_{mode}_"))
+    exp = Experiment(cfg)
+    conv0, pool0 = alpha_mass(exp.arch)
+    t0 = time.time()
+    epochs = max(1, steps // max(len(exp.data["train"]) //
+                                 cfg.train.batch_size, 1))
+    s3_losses = []
+    for _ in range(epochs):
+        exp.train_epoch()
+    conv1, pool1 = alpha_mass(exp.arch)
+    geno = search.genotype(exp.arch, model.darts_steps,
+                           model.darts_multiplier)
+    n_pool = sum(1 for op, _ in geno.normal if op in POOLS)
+    return {
+        "mode": mode,
+        "epochs": epochs,
+        "conv_mass_delta": round(conv1 - conv0, 4),
+        "pool_mass_delta": round(pool1 - pool0, 4),
+        "pool_ops_in_genotype": n_pool,
+        "genotype_normal": [op for op, _ in geno.normal],
+        "final_train_ef_acc": round(exp.train_ef_acc[-1], 4),
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=48)
+    p.add_argument("--modes", type=str,
+                   default="exact,exact-indirect,fd")
+    p.add_argument("--data_dir", type=str, default="")
+    args = p.parse_args()
+    from lctvqa import compile_cache
+    compile_cache.enable()
+    data_dir = args.data_dir or make_planted_dataset(
+        tempfile.mkdtemp(prefix="ab_planted_"))
+    rows = []
+    for mode in args.modes.split(","):
+        r = run_mode(mode, data_dir, args.steps)
+        rows.append(r)
+        print(json.dumps(r))
+    print("\nmode             d(conv+skip)  d(pool)  pools-in-geno  "
+          "ef_acc  wall_s")
+    for r in rows:
+        print(f"{r['mode']:16s} {r['conv_mass_delta']:+.4f}      "
+              f"{r['pool_mass_delta']:+.4f}  {r['pool_ops_in_genotype']}"
+              f"              {r['final_train_ef_acc']:.3f}  "
+              f"{r['wall_s']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def capture(mode: str = "fwdbwd", fold: bool = True):
+def capture(mode: str = "fwdbwd", fold: str = "fold"):
     import jax
     import jax.numpy as jnp
 

