@@ -127,6 +127,12 @@ class TrainConfig:
     # 'fd'     -> finite-difference HVPs mirroring the reference
     #             (basic_vqa/pcdarts/architect_lct.py:181-235).
     architect_mode: str = "exact"
+    # jax.checkpoint the inner-unroll loss closures of the tri-level
+    # architect ('exact' mode): the outer double-backward recomputes the
+    # inner forwards instead of keeping their activations live — trades
+    # HBM for FLOPs in the stage-3 program (scripts/bench_stage3.py
+    # measures whether it pays at a given size).
+    stage3_remat: bool = False
     # Carry params/opt state through the train loop as packed 1D buffers
     # (ops/packing.py): O(1) argument buffers per stage call instead of
     # O(1000) leaves — dispatch-bound setups (remote/tunneled TPU) gain

@@ -43,6 +43,7 @@ class VqaNpyDataset:
                          and self.vqa[0]["valid_answers"] is not None)
         self._h5_images = None  # lazy h5 fallback
         self._h5_ids = None
+        self._vec = None        # vectorized batch-assembly cache
         # Subset(train_portion) equivalent (basic_vqa/data_loader.py:87-93)
         self.num_qst = int(np.floor(train_portion * len(self.vqa)))
 
@@ -73,6 +74,12 @@ class VqaNpyDataset:
             img = Image.open(path).convert("RGB")
             return np.asarray(img.resize((self.img_size, self.img_size)),
                               dtype=np.uint8)
+        if self._vec is not None:
+            coco_id = int(_ID_RE.search(rec["image_name"]).group(1))
+            split = "train" if "train" in rec["image_name"] else "val"
+            row = (self._vec["offsets"][split]
+                   + self._vec["ids"][split][coco_id])
+            return self._vec["imgs"][row]
         self._load_h5()
         coco_id = int(_ID_RE.search(rec["image_name"]).group(1))
         split = "train" if "train" in rec["image_name"] else "val"
@@ -107,6 +114,76 @@ class VqaNpyDataset:
             sample["answer_multi_choice"] = mc
         return sample
 
+    # ---------------- vectorized batch assembly ----------------
+    def _vectorizable(self) -> bool:
+        """Whole-array assembly needs every image to come from images.h5;
+        when real JPEG files exist on disk (the reference's v1 layout) the
+        per-item PIL path is kept (it matches the reference's DataLoader
+        worker behavior and JPEG decode cannot be numpy-vectorized)."""
+        return not os.path.exists(self.vqa[0]["image_path"])
+
+    def _build_vec(self):
+        """One-time cache turning per-item Python assembly into numpy
+        fancy-indexing: encoded questions [n, L], a single combined image
+        table + per-record row, and the padded valid-answer-id table
+        (round-2 verdict #7: the darts/unified family fed through a
+        per-item Python loader)."""
+        if self._vec is not None:
+            return
+        self._load_h5()
+        n = len(self.vqa)
+        q = np.stack([self.encode_question(rec) for rec in self.vqa])
+        splits = sorted(self._h5_images)
+        offsets, parts, off = {}, [], 0
+        for s in splits:
+            offsets[s] = off
+            parts.append(self._h5_images[s])
+            off += len(self._h5_images[s])
+        imgs = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        rows = np.empty(n, np.int64)
+        names = []
+        for i, rec in enumerate(self.vqa):
+            split = "train" if "train" in rec["image_name"] else "val"
+            coco_id = int(_ID_RE.search(rec["image_name"]).group(1))
+            rows[i] = offsets[split] + self._h5_ids[split][coco_id]
+            names.append(rec["image_name"])
+        ans_w = counts = None
+        if self.load_ans:
+            max_c = max(self.max_num_ans,
+                        max(len(r["valid_answers"]) for r in self.vqa))
+            ans_w = np.full((n, max_c), -1, np.int32)
+            counts = np.empty(n, np.int64)
+            for i, rec in enumerate(self.vqa):
+                ids = [self.ans_vocab.word2idx(w)
+                       for w in rec["valid_answers"]]
+                counts[i] = len(ids)
+                ans_w[i, :len(ids)] = ids
+        ids = self._h5_ids
+        # free the per-split image copies (the combined table replaces
+        # them); the tiny id maps move into the cache for _image()
+        self._h5_images = self._h5_ids = None
+        self._vec = dict(q=q, imgs=imgs, rows=rows, names=names,
+                         ans_w=ans_w, counts=counts, offsets=offsets,
+                         ids=ids)
+
+    def batch_from_indices(self, idx: np.ndarray,
+                           rng: np.random.Generator) -> dict:
+        self._build_vec()
+        v = self._vec
+        batch = {
+            "image_u8": v["imgs"][v["rows"][idx]],
+            "question": v["q"][idx],
+            "image_name": [v["names"][int(i)] for i in idx],
+            "index": idx.astype(np.int32),
+        }
+        if self.load_ans:
+            choice = rng.integers(0, v["counts"][idx])
+            batch["answer_label"] = \
+                v["ans_w"][idx, choice].astype(np.int32)
+            batch["answer_multi_choice"] = \
+                v["ans_w"][idx, :self.max_num_ans]
+        return batch
+
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True,
                 drop_remainder: bool = True) -> Iterator[dict]:
@@ -115,21 +192,31 @@ class VqaNpyDataset:
             rng.shuffle(idx)
         n_full = len(idx) // batch_size
         end = n_full * batch_size if drop_remainder else len(idx)
+        vec = self._vectorizable()
         for s in range(0, end, batch_size):
-            items = [self.item(int(i), rng) for i in idx[s:s + batch_size]]
+            sel = idx[s:s + batch_size]
+            if vec:
+                yield self.batch_from_indices(sel, rng)
+                continue
+            items = [self.item(int(i), rng) for i in sel]
             batch = {k: np.stack([it[k] for it in items])
                      if isinstance(items[0][k], np.ndarray)
                      or np.isscalar(items[0][k])
                      or isinstance(items[0][k], np.integer)
                      else [it[k] for it in items]
                      for k in items[0]}
-            batch["index"] = idx[s:s + batch_size].astype(np.int32)
+            batch["index"] = sel.astype(np.int32)
             yield batch
 
 
 class VqaNpyDatasetUnified(VqaNpyDataset):
     """`<start> q <sep> a <end>` stream over vocab_unified.txt
     (darts_vqa/data_loader.py:82-125)."""
+
+    def _vectorizable(self) -> bool:
+        # the random answer choice changes the qa stream's LAYOUT (answer
+        # words are inline), so assembly stays per-item here
+        return False
 
     def __init__(self, input_dir: str, input_vqa: str,
                  max_qst_length: int = 30, max_num_ans: int = 10,

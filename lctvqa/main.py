@@ -44,7 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="image residency: RAM, chunked h5 reads, or auto")
     # TPU-native extras
     p.add_argument("--architect_mode", type=str, default="exact",
-                   choices=["exact", "fd"])
+                   choices=["exact", "exact-indirect", "fd"])
+    p.add_argument("--stage3_remat", action="store_true",
+                   help="jax.checkpoint the tri-level architect's inner "
+                        "unroll losses (memory over speed; see config.py)")
     p.add_argument("--fuse_mixed_ops", action="store_true",
                    help="edge-batched mixed-op execution "
                         "(models/search_fused.py)")
@@ -120,6 +123,7 @@ def config_from_args(args) -> Config:
         arch_update_freq=args.arch_update_freq,
         skip_stage2=args.skip_stage2, skip_stage3=args.skip_stage3,
         seed=args.seed, architect_mode=args.architect_mode,
+        stage3_remat=args.stage3_remat,
         report_freq=10 if args.arch_type == "darts" else 100)
     data = DataConfig(input_dir=args.input_dir,
                       num_workers=args.num_workers,

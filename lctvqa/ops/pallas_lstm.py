@@ -50,51 +50,42 @@ def _forward(x, h, c, w_ih, w_hh, b, interpret: bool):
     )(x, h, c, w_ih, w_hh, b)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+@functools.partial(jax.custom_jvp, nondiff_argnums=(6,))
 def _fused_cell(x, h, c, w_ih, w_hh, b, interpret):
     return _forward(x, h, c, w_ih, w_hh, b, interpret)
 
 
-def _fused_cell_fwd(x, h, c, w_ih, w_hh, b, interpret):
-    # recompute gate activations for the backward in jnp (cheap, fusible)
-    h_new, c_new = _forward(x, h, c, w_ih, w_hh, b, interpret)
-    return (h_new, c_new), (x, h, c, w_ih, w_hh, b)
-
-
-def _fused_cell_bwd(interpret, res, grads):
-    x, h, c, w_ih, w_hh, b = res
-    dh_new, dc_new = grads
-    gates = (jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
-             + jnp.dot(h, w_hh, preferred_element_type=jnp.float32) + b)
+@_fused_cell.defjvp
+def _fused_cell_jvp(interpret, primals, tangents):
+    """custom_JVP (not VJP, round-2 verdict #9): the tangent rule is the
+    gate linearization in plain jnp (cheap, fusible; gates recomputed from
+    the inputs), which JAX can partially evaluate, TRANSPOSE (first-order
+    reverse = the same math the old handwritten VJP did) and differentiate
+    again — so the Pallas forward stays usable under the architects'
+    second-order AD instead of being silently swapped out."""
+    x, h, c, w_ih, w_hh, b = primals
+    tx, th, tc, twih, twhh, tb = tangents
+    h_new, c_new = _fused_cell(x, h, c, w_ih, w_hh, b, interpret)
+    f32 = jnp.float32
+    gates = (jnp.dot(x, w_ih, preferred_element_type=f32)
+             + jnp.dot(h, w_hh, preferred_element_type=f32) + b)
     hid = gates.shape[-1] // 4
     i = jax.nn.sigmoid(gates[:, :hid])
     f = jax.nn.sigmoid(gates[:, hid:2 * hid])
     g = jnp.tanh(gates[:, 2 * hid:3 * hid])
     o = jax.nn.sigmoid(gates[:, 3 * hid:])
-    c_new = f * c + i * g
     tanh_c = jnp.tanh(c_new)
-    do = dh_new * tanh_c
-    dc_total = dc_new + dh_new * o * (1.0 - tanh_c * tanh_c)
-    di = dc_total * g
-    df = dc_total * c
-    dg = dc_total * i
-    dc = dc_total * f
-    dgates = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do * o * (1.0 - o),
-    ], axis=-1)
-    dx = jnp.dot(dgates, w_ih.T, preferred_element_type=jnp.float32)
-    dh = jnp.dot(dgates, w_hh.T, preferred_element_type=jnp.float32)
-    dw_ih = jnp.dot(x.T, dgates, preferred_element_type=jnp.float32)
-    dw_hh = jnp.dot(h.T, dgates, preferred_element_type=jnp.float32)
-    db = jnp.sum(dgates, axis=0)
-    return (dx.astype(x.dtype), dh.astype(h.dtype), dc, dw_ih.astype(
-        w_ih.dtype), dw_hh.astype(w_hh.dtype), db)
-
-
-_fused_cell.defvjp(_fused_cell_fwd, _fused_cell_bwd)
+    dgates = (jnp.dot(tx, w_ih, preferred_element_type=f32)
+              + jnp.dot(x, twih, preferred_element_type=f32)
+              + jnp.dot(th, w_hh, preferred_element_type=f32)
+              + jnp.dot(h, twhh, preferred_element_type=f32) + tb)
+    di = i * (1.0 - i) * dgates[:, :hid]
+    df = f * (1.0 - f) * dgates[:, hid:2 * hid]
+    dg = (1.0 - g * g) * dgates[:, 2 * hid:3 * hid]
+    do = o * (1.0 - o) * dgates[:, 3 * hid:]
+    dc_new = df * c.astype(f32) + f * tc + di * g + i * dg
+    dh_new = do * tanh_c + o * (1.0 - tanh_c * tanh_c) * dc_new
+    return (h_new, c_new), (dh_new.astype(f32), dc_new.astype(f32))
 
 
 def lstm_cell_pallas(layer_params, x, h, c, dtype=None,

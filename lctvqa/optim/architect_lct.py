@@ -58,12 +58,20 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
     import dataclasses
     mode = mode or tcfg.architect_mode
     # The architect differentiates THROUGH inner jax.grad calls
-    # (grad-of-grad). The Pallas LSTM cell's custom_vjp has no JVP rule, so
-    # it cannot sit under second-order AD — the architect's model closures
-    # use the plain jnp cell (XLA-fused; the Pallas win is in the
-    # first-order stage1/2/eval paths, which keep it).
+    # (grad-of-grad). The Pallas LSTM cell is now a custom_JVP whose jnp
+    # tangent rule supports arbitrary-order AD (validated:
+    # tests/test_pallas.py::test_fused_cell_second_order_ad), BUT the
+    # COMPILED pallas_call primitive cannot be staged into the unknown
+    # region of the outer linearization — here the LSTM's inputs depend on
+    # alpha through the darts trunk, so on TPU the primal call lands
+    # exactly there ("Linearization failed ...", reproduced by
+    # scripts/bench_stage3.py). Both kernels are therefore swapped for
+    # their parity-pinned jnp/XLA forms inside the architect closures:
+    # LSTM kernel == jnp cell (tests/test_pallas.py), mixed-op node kernel
+    # == XLA fold (tests/test_pallas_mixedop.py) — the swap is provably
+    # benign to float tolerance.
     mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
-                           pallas_mixed_op=False)
+                               pallas_mixed_op=False)
     temp = tcfg.temperature
     w_lambda = tcfg.w_lambda
 
@@ -91,19 +99,26 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
                             deterministic=False)
 
     indirect_only = mode == "exact-indirect"
+    # Optional remat of the inner-unroll losses: the outer grad's
+    # double-backward then recomputes the EF/W forwards instead of holding
+    # their activations across the whole tri-level program (TrainConfig
+    # stage3_remat; measured by scripts/bench_stage3.py).
+    ef_inner = (jax.checkpoint(ef_train_loss) if tcfg.stage3_remat
+                else ef_train_loss)
+    w_inner = jax.checkpoint(w_soft) if tcfg.stage3_remat else w_soft
 
     def exact(arch, ef_params, w_params, train_batch, val_batch,
               ef_lr, w_lr, rng):
         r1, r2, r3, r4 = jax.random.split(rng, 4)
 
         def val_after_unrolls(a):
-            g_ef = jax.grad(ef_train_loss)(ef_params, a, train_batch, r1)
+            g_ef = jax.grad(ef_inner)(ef_params, a, train_batch, r1)
             ef2 = sgd_step(ef_params, g_ef, ef_lr)
             # 'exact-indirect' truncates the direct alpha->generate path the
             # way the reference's FD scheme implicitly does (see module doc)
             a_gen = jax.lax.stop_gradient(a) if indirect_only else a
             pq, pa = pseudo_qa(ef2, a_gen, train_batch["image"], r2)
-            g_w = jax.grad(w_soft)(w_params, train_batch, pq, pa, r3)
+            g_w = jax.grad(w_inner)(w_params, train_batch, pq, pa, r3)
             w2 = sgd_step(w_params, g_w, w_lr)
             return w_val_loss(w2, val_batch, r4)
 

@@ -29,6 +29,7 @@ from lctvqa.models import search, unified as unified_model, vqa_ef
 from lctvqa.optim.architect import make_darts_arch_grad
 from lctvqa.optim.optimizers import (arch_optimizer, model_optimizer,
                                      set_learning_rate, step_lr)
+from lctvqa.parallel import mesh as mesh_lib
 from lctvqa.train import checkpoint, stats
 from lctvqa.train.metrics import (VqaStruct, calc_bleu_scores,
                                   calc_bleu_scores_unified, mask_unk,
@@ -42,11 +43,12 @@ def make_darts_steps(cfg: Config, unk_idx: int, qst_only: bool = False):
     arch_tx = arch_optimizer(tcfg)
     mean, std = cfg.data.mean, cfg.data.std
 
-    # The architect's grad-through-unroll is second-order AD; the Pallas
-    # LSTM custom_vjp has no JVP rule, so its closures use the jnp cell
-    # (see optim/architect_lct.make_lct_arch_grad).
+    # Second-order AD closure: both Pallas kernels swap to their
+    # parity-pinned jnp/XLA forms — the compiled pallas_call cannot sit in
+    # the unknown region of the outer linearization (see
+    # optim/architect_lct.make_lct_arch_grad for the full story).
     arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
-                                pallas_mixed_op=False)
+                                    pallas_mixed_op=False)
 
     def loss_fn(p, a, batch, rng):
         return vqa_ef.ef_loss(p, a, arch_mcfg, batch["image"],
@@ -119,10 +121,9 @@ def make_unified_steps(cfg: Config):
     arch_tx = arch_optimizer(tcfg)
     mean, std = cfg.data.mean, cfg.data.std
 
-    # jnp LSTM cell under the second-order architect (no JVP rule for the
-    # Pallas cell's custom_vjp) — see make_darts_steps
+    # see make_darts_steps: kernels swapped for second-order AD
     arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
-                                pallas_mixed_op=False)
+                                    pallas_mixed_op=False)
 
     def loss_fn(p, a, batch, rng):
         return unified_model.unified_loss(p, a, arch_mcfg, batch["image"],
@@ -193,7 +194,8 @@ class DartsExperiment:
 
     unified = False
 
-    def __init__(self, cfg: Config, qst_only: bool = False):
+    def __init__(self, cfg: Config, qst_only: bool = False,
+                 use_mesh: bool = True):
         self.cfg = cfg
         from lctvqa import compile_cache
         compile_cache.enable()
@@ -218,6 +220,15 @@ class DartsExperiment:
         self.ans_vocab = self.data["train"].ans_vocab
         self.vqa_struct = VqaStruct(cfg.data.input_dir, "valid.npy")
 
+        # DP mesh (new capability vs the single-device reference, same
+        # layer the LCT family uses): batch sharded over `data`, params +
+        # arch replicated — the jitted steps' global-mean losses make XLA
+        # all-reduce weight AND alpha gradients (round-2 verdict #7)
+        self.mesh = (mesh_lib.make_mesh(cfg.mesh.num_devices)
+                     if use_mesh else None)
+        self.batch_sharding = (mesh_lib.batch_sharding(self.mesh)
+                               if self.mesh else None)
+
         key = self._next_rng()
         self._init_model(key)
         self.current_epoch = 0
@@ -229,6 +240,32 @@ class DartsExperiment:
             # continue from the saved epoch (darts_vqa/experiment.py:100-103)
             self.load_model()
             self.load_stats()
+        self._replicate()
+
+    def _replicate(self):
+        """Pin replicated shardings so the first jitted call's output
+        shardings match the inputs (avoids one recompile per step fn)."""
+        if self.mesh is None:
+            return
+        rep = mesh_lib.replicated(self.mesh)
+        put = lambda t: jax.device_put(t, rep)  # noqa: E731
+        self.params, self.opt = put(self.params), put(self.opt)
+        if self.arch is not None:
+            self.arch = put(self.arch)
+            self.arch_opt = put(self.arch_opt)
+
+    def _batches(self, split: str, shuffle: bool = True):
+        """Prefetched, device-put (mesh-sharded) batches off a background
+        thread — the same fast input path the LCT family uses."""
+        from lctvqa.data import pipeline
+        it = self.data[split].batches(self.cfg.train.batch_size,
+                                      self.np_rng, shuffle=shuffle)
+        return pipeline.Prefetcher(it, sharding=self.batch_sharding,
+                                   depth=self.cfg.data.prefetch,
+                                   device_keys=_DEVICE_KEYS)
+
+    def _shard(self, batch: dict) -> dict:
+        return mesh_lib.shard_batch(batch, self.mesh)
 
     def _init_model(self, key):
         self.params, self.arch = vqa_ef.init_ef_model(key, self.cfg.model)
@@ -276,14 +313,13 @@ class DartsExperiment:
         total_loss, nb = 0.0, 0
         valid_iter = cycle(self.data["valid"].batches(t.batch_size,
                                                       self.np_rng))
-        for batch_idx, batch in enumerate(
-                self.data["train"].batches(t.batch_size, self.np_rng)):
+        for batch_idx, batch in enumerate(self._batches("train")):
             if self.arch is not None and \
                     batch_idx % self.arch_update_freq == 0:
-                val_batch = next(valid_iter)
+                val_batch = self._shard(_dev_batch(next(valid_iter)))
                 self.arch, self.arch_opt, v = self.steps["arch"](
                     self.arch, self.arch_opt, self.params,
-                    _dev_batch(batch), _dev_batch(val_batch),
+                    _dev_batch(batch), val_batch,
                     jnp.float32(lr), self._next_rng())
                 self.log(f"| ARCH STEP | val-loss {float(v):.4f}")
             self.params, self.opt, loss = self.steps["train"](
@@ -306,8 +342,7 @@ class DartsExperiment:
         # LCT val (SURVEY.md §7 hard-part 7)
         bleu_pool = ThreadPoolExecutor(max_workers=1)
         bleu_futures = []
-        for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
-                                                shuffle=False):
+        for batch in self._batches("valid", shuffle=False):
             loss, corr, gen_qst = self.steps["eval"](
                 self.params, self.arch, _dev_batch(batch),
                 self._next_rng())
@@ -398,14 +433,13 @@ class DartsExperimentUnified(DartsExperiment):
         nb = 0
         valid_iter = cycle(self.data["valid"].batches(t.batch_size,
                                                       self.np_rng))
-        for batch_idx, batch in enumerate(
-                self.data["train"].batches(t.batch_size, self.np_rng)):
+        for batch_idx, batch in enumerate(self._batches("train")):
             if self.arch is not None and \
                     batch_idx % self.arch_update_freq == 0:
-                val_batch = next(valid_iter)
+                val_batch = self._shard(_dev_batch(next(valid_iter)))
                 self.arch, self.arch_opt, v = self.steps["arch"](
                     self.arch, self.arch_opt, self.params,
-                    _dev_batch(batch), _dev_batch(val_batch),
+                    _dev_batch(batch), val_batch,
                     jnp.float32(lr), self._next_rng())
                 self.log(f"| ARCH STEP | val-loss {float(v):.4f}")
             self.params, self.opt, loss, qa_pred = self.steps["train"](
@@ -430,8 +464,7 @@ class DartsExperimentUnified(DartsExperiment):
         nb = 0
         bleu_pool = ThreadPoolExecutor(max_workers=1)
         bleu_futures = []
-        for batch in self.data["valid"].batches(t.batch_size, self.np_rng,
-                                                shuffle=False):
+        for batch in self._batches("valid", shuffle=False):
             loss, qa_pred, qa_gen = self.steps["eval"](
                 self.params, self.arch, _dev_batch(batch),
                 self._next_rng())

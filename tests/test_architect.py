@@ -143,12 +143,15 @@ def test_lct_exact_full_gradient_finite_and_nonzero():
 
 
 def test_architects_never_route_to_pallas_lstm(monkeypatch):
-    """Regression: the architects are second-order AD (grad-of-grad) and
-    the Pallas LSTM cell's custom_vjp has no JVP rule — tracing stage3 /
-    the darts arch step with use_pallas_lstm=True crashed on TPU
-    ("Linearization failed ..."). The architect factories must force the
-    jnp cell in their closures even when the config enables Pallas (the
-    CPU fallback in lstm_cell_pallas would otherwise hide this here)."""
+    """Regression (r2, re-confirmed r3): the architects are second-order
+    AD and the COMPILED pallas_call cannot be staged into the unknown
+    region of the outer linearization (the LSTM inputs depend on alpha
+    through the darts trunk) — "Linearization failed ..." on TPU even
+    with the round-3 custom_JVP cell (scripts/bench_stage3.py reproduced
+    it). The architect factories must force the jnp cell in their
+    closures even when the config enables Pallas (the CPU fallback in
+    lstm_cell_pallas would otherwise hide this here); the swap is benign:
+    kernel==jnp parity is pinned in tests/test_pallas.py."""
     import lctvqa.ops.pallas_lstm as pallas_lstm
 
     def boom(*a, **k):

@@ -127,6 +127,61 @@ def test_sharded_stage3_matches_single_device():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_sharded_darts_family_steps_match_single_device():
+    """2-stage darts family on the DP mesh (round-2 verdict #7): the
+    jitted train_step and second-order arch_step over a sharded batch +
+    replicated params must equal the single-device result — including the
+    all-reduced alpha gradients."""
+    from lctvqa.train.experiment_darts import make_darts_steps
+
+    model = ModelConfig(
+        img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
+        max_qst_len=6, qst_vocab_size=32, ans_vocab_size=16, img_size=16,
+        darts_init_ch=4, darts_layers=1, darts_steps=2,
+        darts_multiplier=2, compute_dtype="float32")
+    cfg = Config(model=model, train=TrainConfig(batch_size=8))
+    rng = np.random.RandomState(1)
+    batch = {
+        "image_u8": rng.randint(0, 256, (8, 16, 16, 3), dtype=np.uint8),
+        "question": rng.randint(0, 32, (8, 6)).astype(np.int32),
+        "answer_label": rng.randint(0, 16, (8,)).astype(np.int32),
+        "answer_multi_choice": rng.randint(-1, 16, (8, 10)).astype(
+            np.int32),
+    }
+    key = jax.random.PRNGKey(5)
+    params, arch = vqa_ef.init_ef_model(key, cfg.model)
+    steps = make_darts_steps(cfg, unk_idx=1)
+    opt = steps["tx"].init(params)
+    arch_opt = steps["arch_tx"].init(arch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    eta = jnp.float32(1e-3)
+
+    p1, o1, loss1 = steps["train"](params, opt, arch, jb,
+                                   jax.random.PRNGKey(21))
+    a1, ao1, v1 = steps["arch"](arch, arch_opt, params, jb, jb, eta,
+                                jax.random.PRNGKey(22))
+
+    mesh = mesh_lib.make_mesh(8)
+    rep = mesh_lib.replicated(mesh)
+    sb = mesh_lib.shard_batch(batch, mesh)
+    p2, o2, loss2 = steps["train"](
+        jax.device_put(params, rep), jax.device_put(opt, rep),
+        jax.device_put(arch, rep), sb, jax.random.PRNGKey(21))
+    a2, ao2, v2 = steps["arch"](
+        jax.device_put(arch, rep), jax.device_put(arch_opt, rep),
+        jax.device_put(params, rep), sb, sb, eta, jax.random.PRNGKey(22))
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(a1[k]), np.asarray(a2[k]),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_shard_batch_layout():
     mesh = mesh_lib.make_mesh(8)
     x = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
@@ -216,9 +271,11 @@ def test_two_process_global_batch_and_step():
 import os, sys
 pid = int(sys.argv[1])
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-os.environ["JAX_PLATFORMS"] = "cpu"
-from lctvqa.parallel import distributed
+# the axon plugin ignores JAX_PLATFORMS (NOTES.md): keep it off the path
+# (PYTHONPATH excludes /root/.axon_site) AND pin the platform via config
 import jax
+jax.config.update("jax_platforms", "cpu")
+from lctvqa.parallel import distributed
 import jax.numpy as jnp
 import numpy as np
 distributed.initialize("127.0.0.1:12761", num_processes=2, process_id=pid)
@@ -245,6 +302,9 @@ print("MH2_OK", pid)
 """
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root  # no axon plugin path in the children
     procs = [subprocess.Popen([sys.executable, "-c", code, str(p)],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.PIPE, text=True, env=env)

@@ -53,6 +53,31 @@ def test_fused_cell_custom_vjp_matches_autodiff():
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_cell_second_order_ad():
+    """grad-of-grad THROUGH the Pallas cell (now a custom_jvp whose
+    tangent rule is differentiable jnp math — round-2 verdict #9): the
+    HVP w.r.t. the cell parameters must match the plain jnp cell, so the
+    architects can keep the kernel instead of silently swapping it."""
+    lp, x, h, c = _setup(seed=9)
+
+    def make_loss(cell):
+        def f(lp_):
+            h2, c2 = cell(lp_)
+            return jnp.sum(h2 ** 2) + jnp.sum(jnp.tanh(c2))
+        return f
+
+    f_ref = make_loss(lambda lp_: lstm_cell(lp_, x, h, c))
+    f_pal = make_loss(
+        lambda lp_: lstm_cell_pallas(lp_, x, h, c, force_interpret=True))
+    v = jax.tree_util.tree_map(jnp.ones_like, lp)
+    hvp_ref = jax.jvp(jax.grad(f_ref), (lp,), (v,))[1]
+    hvp_pal = jax.jvp(jax.grad(f_pal), (lp,), (v,))[1]
+    for a, b in zip(jax.tree_util.tree_leaves(hvp_ref),
+                    jax.tree_util.tree_leaves(hvp_pal)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_cell_under_scan():
     """Must work inside lax.scan (the generate loop) and match."""
     from lctvqa.ops.lstm import lstm
