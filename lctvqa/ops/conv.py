@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import functools
 import math
 
 import jax
@@ -229,11 +230,68 @@ def batchnorm_xla(params, x, eps: float = 1e-5, out_dtype=None,
     return y
 
 
-def max_pool(x, window: int, stride: int, padding: int = 0):
+def _pool_taps(x, window: int, stride: int, padding: int, fill):
+    """The window*window strided tap views of x, each [N, Ho, Wo, C]."""
+    n, h, w, c = x.shape
+    ho = (h + 2 * padding - window) // stride + 1
+    wo = (w + 2 * padding - window) // stride + 1
+    xp = jnp.pad(x, [(0, 0), (padding, padding), (padding, padding),
+                     (0, 0)], constant_values=fill) if padding else x
+    taps = []
+    for di in range(window):
+        for dj in range(window):
+            taps.append(jax.lax.slice(
+                xp, (0, di, dj, 0),
+                (n, di + (ho - 1) * stride + 1, dj + (wo - 1) * stride + 1,
+                 c), (1, stride, stride, 1)))
+    return taps
+
+
+def _max_pool_fwd(x, window: int, stride: int, padding: int):
     return jax.lax.reduce_window(
         x.astype(jnp.float32), -jnp.inf, jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1),
         [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
+def max_pool(x, window: int, stride: int, padding: int = 0):
+    """Max pool whose derivative stays in elementwise-fusion land.
+
+    XLA differentiates reduce_window-max into select_and_scatter, which on
+    TPU is both slow and a padding disaster on tiny-channel tensors (the
+    stage-3 tri-level program's largest HBM temps were select_and_scatter
+    remat slabs, 5-16x layout-padding expansion), and its tie rule
+    (gradient to the first max) is applied inconsistently vs torch's
+    MaxPool2d argmax. The primal stays the fast fused reduce_window —
+    forward-only passes (inference, remat recompute slabs) pay nothing —
+    while the custom JVP routes the tangent through the first-max window
+    tap (row-major, torch's exact argmax tie rule), computed as strided
+    tap slices. The tangent map is linear, so XLA transposes it to a
+    pad+mask+add backward with no select_and_scatter anywhere, and
+    arbitrary-order AD stays open (the LCT architect takes JVPs through
+    this)."""
+    return _max_pool_fwd(x, window, stride, padding)
+
+
+@max_pool.defjvp
+def _max_pool_jvp(window, stride, padding, primals, tangents):
+    (x,), (xdot,) = primals, tangents
+    taps = _pool_taps(x.astype(jnp.float32), window, stride, padding,
+                      -jnp.inf)
+    # first-max tap index in row-major window order: strict > keeps the
+    # earliest occurrence on ties
+    best, idx = taps[0], jnp.zeros(taps[0].shape, jnp.int32)
+    for t, xt in enumerate(taps[1:], start=1):
+        take = xt > best
+        idx = jnp.where(take, t, idx)
+        best = jnp.maximum(best, xt)
+    dtaps = _pool_taps(xdot.astype(jnp.float32), window, stride, padding,
+                       0.0)
+    ydot = jnp.where(idx == 0, dtaps[0], 0.0)
+    for t, dt in enumerate(dtaps[1:], start=1):
+        ydot = ydot + jnp.where(idx == t, dt, 0.0)
+    return best, ydot
 
 
 def avg_pool(x, window: int, stride: int, padding: int = 0,

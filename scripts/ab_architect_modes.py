@@ -37,7 +37,17 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+# the axon TPU plugin ignores JAX_PLATFORMS (NOTES.md); the config knob
+# works iff applied before backend init — this script is CPU-only so it
+# never competes with TPU benchmarks for the tunnel.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+os.environ.setdefault(
+    "XLA_FLAGS",
+    "--xla_force_host_platform_device_count=1 --xla_cpu_max_isa=AVX2")
 
 
 CONV_SKIP = ("skip_connect", "sep_conv_3x3", "sep_conv_5x5",
@@ -98,7 +108,8 @@ def alpha_mass(arch, which="alphas_normal"):
     return float(conv), float(pool)
 
 
-def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10):
+def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10,
+             arch_lr: float = 6e-3):
     import dataclasses
 
     import jax
@@ -121,7 +132,14 @@ def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10):
         model=model,
         train=TrainConfig(batch_size=16, num_epochs=1, arch_update_freq=1,
                           skip_stage2=False, skip_stage3=False,
-                          report_freq=1000, architect_mode=mode, seed=seed),
+                          report_freq=1000, architect_mode=mode, seed=seed,
+                          # 10x the reference arch lr: a 48-update probe
+                          # at 6e-4 moves group alpha-mass by <5e-5 (raw
+                          # |d alpha| ~2e-3 but direction-canceling), so
+                          # the planted-op question needs a lr/steps
+                          # combination whose max logit travel (~steps *
+                          # lr) is O(1)
+                          arch_learning_rate=arch_lr),
         data=DataConfig(input_dir=data_dir),
         mesh=MeshConfig(num_devices=1),
         exp_name=f"ab_{mode}",
@@ -152,9 +170,10 @@ def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=48)
+    p.add_argument("--steps", type=int, default=240)
     p.add_argument("--modes", type=str,
                    default="exact,exact-indirect,fd")
+    p.add_argument("--arch_lr", type=float, default=6e-3)
     p.add_argument("--data_dir", type=str, default="")
     args = p.parse_args()
     from lctvqa import compile_cache
@@ -163,7 +182,7 @@ def main():
         tempfile.mkdtemp(prefix="ab_planted_"))
     rows = []
     for mode in args.modes.split(","):
-        r = run_mode(mode, data_dir, args.steps)
+        r = run_mode(mode, data_dir, args.steps, arch_lr=args.arch_lr)
         rows.append(r)
         print(json.dumps(r))
     print("\nmode             d(conv+skip)  d(pool)  pools-in-geno  "

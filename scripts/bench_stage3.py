@@ -4,10 +4,12 @@ Round-2 found the isolated stage-3 re-measure physically impossible
 (3.5 ms < one trunk forward): scalar-readback synchronization does not
 provably bound an arbitrary program through the axon tunnel, because the
 readback only orders against the stream the OUTPUT was produced on. This
-bench closes that: K full stage-3 updates run inside ONE jitted
-`lax.fori_loop` whose carry is (arch, arch_opt, rng) — the final arch
-values are data-dependent on every one of the K updates, so reading ONE
-arch scalar back bounds the entire K-update program by construction.
+bench closes that: K full stage-3 updates are CHAINED — update i+1
+consumes update i's (arch, arch_opt) outputs — so the final arch value
+is data-dependent on every one of the K updates and reading ONE arch
+scalar back bounds the whole chain by construction. (A jitted fori_loop
+variant was tried first and rejected: the while body defeats XLA's
+cross-iteration buffer reuse and the tri-level program OOMs HBM.)
 
 Variants: architect_mode in {exact, exact-indirect, fd} x stage3_remat,
 at reference dims (batch 64, 64px, full EF+W models).
@@ -56,17 +58,30 @@ def main():
             -1, AVOCAB, (BATCH, 10)).astype(np.int32)),
     }
     lr = jnp.float32(1e-3)
-    K = 8
+    # K chained dispatches, not a fori_loop: wrapping stage3 in a while
+    # body defeats XLA's buffer reuse across iterations (K=3 needed
+    # 15.8 G HBM vs 15.75 available; K=8 also exceeded 35 min compile).
+    # Chaining update i+1 on update i's (arch, opt) outputs gives the
+    # same guarantee — the final arch readback is data-dependent on
+    # every update — at single-update memory; per-dispatch tunnel
+    # overhead (~35 ms) is <4% at the ~1 s/update scale measured.
+    K = 6
 
     all_variants = [
         ("exact", dict(architect_mode="exact", stage3_remat=False)),
         ("exact_remat", dict(architect_mode="exact", stage3_remat=True)),
         ("exact-indirect", dict(architect_mode="exact-indirect",
                                 stage3_remat=False)),
+        # exact-indirect at reference dims OOMs HBM without remat (16.04G
+        # of 15.75G, 30.7% util: 16x layout padding on tiny-channel f32
+        # pool temps under the double transpose) — remat is its only
+        # runnable configuration on v5e.
+        ("exact-indirect_remat", dict(architect_mode="exact-indirect",
+                                      stage3_remat=True)),
         ("fd", dict(architect_mode="fd", stage3_remat=False)),
     ]
     sel = sys.argv[1:]
-    variants = ([v for v in all_variants if any(s in v[0] for s in sel)]
+    variants = ([v for v in all_variants if v[0] in sel]
                 if sel else all_variants)
     results = {}
     for tag, tkw in variants:
@@ -74,32 +89,21 @@ def main():
                      train=TrainConfig(batch_size=BATCH, **tkw))
         steps = make_lct_steps(cfg, unk_idx=1)
         arch_opt = steps["arch_tx"].init(arch)
+        s3 = steps["stage3"]
+        keys = [jax.random.PRNGKey(3 + i) for i in range(K)]
 
-        def k_updates(arch, arch_opt, ef_p, w_p, batch, rng,
-                      _s3=steps["stage3"]):
-            def body(_, carry):
-                a, ao, r, _v = carry
-                r, rk = jax.random.split(r)
-                a, ao, v = _s3(a, ao, ef_p, w_p, batch, batch, lr, lr, rk)
-                return a, ao, r, v
-
-            return jax.lax.fori_loop(
-                0, K, body,
-                (arch, arch_opt, rng, jnp.float32(0.0)))
-
-        fn = jax.jit(k_updates)
         t0 = time.perf_counter()
-        out = fn(arch, arch_opt, ef_params, w_params, batch,
-                 jax.random.PRNGKey(3))
-        float(jnp.ravel(out[0]["alphas_normal"])[0])  # compile + warm
+        a, ao, _v = s3(arch, arch_opt, ef_params, w_params, batch, batch,
+                       lr, lr, keys[0])
+        float(jnp.ravel(a["alphas_normal"])[0])  # compile + warm
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        reps = 3
-        for _ in range(reps):
-            out = fn(arch, arch_opt, ef_params, w_params, batch,
-                     jax.random.PRNGKey(3))
-        float(jnp.ravel(out[0]["alphas_normal"])[0])  # bounds ALL updates
-        ms = (time.perf_counter() - t0) / (reps * K) * 1e3
+        a, ao = arch, arch_opt
+        for i in range(K):
+            a, ao, _v = s3(a, ao, ef_params, w_params, batch, batch,
+                           lr, lr, keys[i])
+        float(jnp.ravel(a["alphas_normal"])[0])  # bounds ALL K updates
+        ms = (time.perf_counter() - t0) / K * 1e3
         results[tag] = {"ms_per_update": round(ms, 2),
                         "compile_s": round(compile_s, 1)}
         print(tag, results[tag], flush=True)

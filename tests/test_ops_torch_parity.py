@@ -78,6 +78,39 @@ def test_max_pool():
                                rtol=RTOL, atol=ATOL)
 
 
+@pytest.mark.parametrize("window,stride,padding",
+                         [(3, 1, 1), (3, 2, 1), (2, 2, 0)])
+def test_max_pool_grad_matches_torch(window, stride, padding):
+    """max_pool is a custom_jvp (conv.py) whose tangent routes through the
+    first-max window tap; its transpose must equal torch's argmax-routed
+    MaxPool2d backward, INCLUDING on ties (relu-zero windows are common).
+    Second order is exercised separately in tie-free form: torch and the
+    old select_and_scatter path are themselves inconsistent at ties."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    x[0, 0:4, 0:4, 0] = 1.5          # plateaus -> exact ties
+    x[1, 2:6, 2:6, 1] = 0.0
+    dy_seed = rng.randn(2, 3).astype(np.float32)
+
+    def loss_j(t):
+        y = C.max_pool(t, window, stride, padding)
+        return jnp.sum(y * jnp.asarray(dy_seed)[:, None, None, :])
+
+    g = jax.grad(loss_j)(jnp.asarray(x))
+    xt = torch.tensor(x).permute(0, 3, 1, 2).requires_grad_(True)
+    yt = F.max_pool2d(xt, window, stride=stride, padding=padding)
+    (yt * torch.tensor(dy_seed)[:, :, None, None]).sum().backward()
+    np.testing.assert_allclose(_np(g),
+                               xt.grad.permute(0, 2, 3, 1).numpy(),
+                               rtol=RTOL, atol=ATOL)
+    # arbitrary-order AD must stay open (the LCT architect JVPs this)
+    v = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
+    hv = jax.jvp(jax.grad(lambda t: jnp.sum(
+        C.max_pool(t, window, stride, padding) ** 2)),
+        (jnp.asarray(x),), (v,))[1]
+    assert np.all(np.isfinite(_np(hv)))
+
+
 @pytest.mark.parametrize("in_size,out_size", [(2, 7), (16, 7), (7, 7),
                                               (10, 7)])
 def test_adaptive_avg_pool_matches_torch(in_size, out_size):
