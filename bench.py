@@ -231,41 +231,39 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
     dt = time.perf_counter() - t0
     train_pps = BATCH * iters / dt
 
-    # PURE-CHIP training throughput (round-2 verdict #2): K stage1+stage2
-    # steps inside ONE jitted lax.fori_loop over the packed carries, batch
-    # pre-staged in HBM — exactly one dispatch and one scalar readback
-    # cross the tunnel per K steps, so the number measures the device
-    # program, not the per-step RTT the donating loop above pays.
-    def k_steps(ef_pk, ef_opk, w_pk, w_opk, arch, batch, rng):
-        def body(_, carry):
-            ef_pk, ef_opk, w_pk, w_opk, rng, _loss = carry
-            r1, r2, rng = jax.random.split(rng, 3)
-            ef_p, ef_o = p_ef.unpack(ef_pk), p_efo.unpack(ef_opk)
-            w_p, w_o = p_w.unpack(w_pk), p_wo.unpack(w_opk)
-            ef_p, ef_o, _l1, _, _ = steps["stage1"](ef_p, arch, ef_o,
-                                                    batch, r1)
-            w_p, w_o, l2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
-                                              batch, r2)
-            return (p_ef.pack(ef_p), p_efo.pack(ef_o), p_w.pack(w_p),
-                    p_wo.pack(w_o), rng, l2)
+    # PURE-CHIP training throughput (round-2 verdict #2): K CHAINED
+    # non-donating dispatches of the raw (unpacked) stage1+stage2 steps —
+    # step i+1 consumes step i's params, so the single final readback is
+    # data-dependent on every step and bounds the whole chain, while
+    # dispatch enqueue pipelines under the ~66 ms chip step. Validation
+    # (scripts/bench_train_step.py, v5e): chained raw dispatch 66.3
+    # ms/step vs ONE-dispatch raw-pytree fori_loop 64.1 — agreement
+    # within 4%, so the chain measures the device program, not tunnel
+    # RTT. A fori_loop-over-PACKED-carries variant was retired at 144
+    # ms/step: per-iteration pack/unpack copies of every parameter plus
+    # lost buffer aliasing inside the while body.
+    keys = list(jax.random.split(jax.random.PRNGKey(7), iters + 1))
 
-        init = (ef_pk, ef_opk, w_pk, w_opk, rng, jnp.float32(0.0))
-        return jax.lax.fori_loop(0, k_scan, body, init)
+    def one_raw(ef_p, ef_o, w_p, w_o, r):
+        r1, r2 = jax.random.split(r)
+        ef_p, ef_o, _l1, _, _ = steps["stage1"](ef_p, arch, ef_o,
+                                                batch, r1)
+        w_p, w_o, l2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
+                                          batch, r2)
+        return ef_p, ef_o, w_p, w_o, l2
 
-    k_scan = 32
-    scan_fn = jax.jit(k_steps, donate_argnums=(0, 1, 2, 3))
-    out = scan_fn(ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
-    ef_pk, ef_opk, w_pk, w_opk, _, loss2 = out
-    float(loss2)                                   # compile + warm
-    repeats = max(1, iters // 8)
+    ef_p, ef_o = ef_params, ef_opt
+    w_p, w_o = w_params, w_opt
+    ef_p, ef_o, w_p, w_o, l2 = one_raw(ef_p, ef_o, w_p, w_o, keys[0])
+    float(l2)                                      # compile + warm
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = scan_fn(ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
-        ef_pk, ef_opk, w_pk, w_opk, _, loss2 = out
-    float(loss2)
+    for i in range(iters):
+        ef_p, ef_o, w_p, w_o, l2 = one_raw(ef_p, ef_o, w_p, w_o,
+                                           keys[i + 1])
+    float(l2)                                      # bounds ALL iters
     dt = time.perf_counter() - t0
-    train_pps_chip = BATCH * k_scan * repeats / dt
-    ef_params = p_ef.unpack(ef_pk)  # for the generate bench below
+    train_pps_chip = BATCH * iters / dt
+    ef_params = ef_p  # for the generate bench below
 
     gen = jax.jit(lambda p, a, u8: vqa_ef.ef_generate(
         p, a, cfg.model,

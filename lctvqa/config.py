@@ -130,9 +130,12 @@ class TrainConfig:
     # jax.checkpoint the inner-unroll loss closures of the tri-level
     # architect ('exact' mode): the outer double-backward recomputes the
     # inner forwards instead of keeping their activations live — trades
-    # HBM for FLOPs in the stage-3 program (scripts/bench_stage3.py
-    # measures whether it pays at a given size).
-    stage3_remat: bool = False
+    # HBM for FLOPs in the stage-3 program. Default ON: at reference dims
+    # on v5e it is FASTER (482 vs 558 ms/update — select_and_scatter's
+    # padded backward temps cost more HBM traffic than the recompute) and
+    # it is the only configuration in which 'exact-indirect' fits HBM
+    # (scripts/bench_stage3.py, NOTES.md round-3).
+    stage3_remat: bool = True
     # Carry params/opt state through the train loop as packed 1D buffers
     # (ops/packing.py): O(1) argument buffers per stage call instead of
     # O(1000) leaves — dispatch-bound setups (remote/tunneled TPU) gain

@@ -247,7 +247,17 @@ def _pool_taps(x, window: int, stride: int, padding: int, fill):
     return taps
 
 
-def _max_pool_fwd(x, window: int, stride: int, padding: int):
+def max_pool(x, window: int, stride: int, padding: int = 0):
+    """Max pool; XLA differentiates this into select_and_scatter.
+
+    A tap-routed custom-JVP variant exists below (`max_pool_tap_jvp`) and
+    was A/B-measured on v5e at reference dims (scripts/bench_train_step.py,
+    scripts/bench_stage3.py, NOTES.md round-3): it fixes the (rare) tie
+    disagreement with torch's argmax routing and removes
+    select_and_scatter's padded HBM temps, but its 9-tap masked-add
+    backward costs +42% on the stage1+stage2 train step (93.7 vs 65.8
+    ms/step — max_pool_3x3 appears in every MixedOp edge), so the fused
+    reduce_window derivative ships as the default."""
     return jax.lax.reduce_window(
         x.astype(jnp.float32), -jnp.inf, jax.lax.max,
         (1, window, window, 1), (1, stride, stride, 1),
@@ -255,26 +265,20 @@ def _max_pool_fwd(x, window: int, stride: int, padding: int):
 
 
 @functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2, 3))
-def max_pool(x, window: int, stride: int, padding: int = 0):
-    """Max pool whose derivative stays in elementwise-fusion land.
-
-    XLA differentiates reduce_window-max into select_and_scatter, which on
-    TPU is both slow and a padding disaster on tiny-channel tensors (the
-    stage-3 tri-level program's largest HBM temps were select_and_scatter
-    remat slabs, 5-16x layout-padding expansion), and its tie rule
-    (gradient to the first max) is applied inconsistently vs torch's
-    MaxPool2d argmax. The primal stays the fast fused reduce_window —
-    forward-only passes (inference, remat recompute slabs) pay nothing —
-    while the custom JVP routes the tangent through the first-max window
-    tap (row-major, torch's exact argmax tie rule), computed as strided
-    tap slices. The tangent map is linear, so XLA transposes it to a
-    pad+mask+add backward with no select_and_scatter anywhere, and
-    arbitrary-order AD stays open (the LCT architect takes JVPs through
-    this)."""
-    return _max_pool_fwd(x, window, stride, padding)
+def max_pool_tap_jvp(x, window: int, stride: int, padding: int = 0):
+    """Max pool whose tangent routes through the first-max window tap
+    (row-major — torch MaxPool2d's exact argmax tie rule). The tangent
+    map is linear, so XLA transposes it to a pad+mask+add backward with
+    no select_and_scatter anywhere, and arbitrary-order AD stays open.
+    Measured 42% slower than the default on the train step (see
+    `max_pool`); kept as the tie-exact opt-in for parity work."""
+    return jax.lax.reduce_window(
+        x.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        (1, window, window, 1), (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
 
 
-@max_pool.defjvp
+@max_pool_tap_jvp.defjvp
 def _max_pool_jvp(window, stride, padding, primals, tangents):
     (x,), (xdot,) = primals, tangents
     taps = _pool_taps(x.astype(jnp.float32), window, stride, padding,

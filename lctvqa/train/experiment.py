@@ -101,6 +101,17 @@ class Experiment:
             cfg = _dc.replace(cfg, model=_dc.replace(
                 cfg.model, pallas_mixed_op=False))
             self.cfg = cfg
+        if (cfg.train.architect_mode == "exact-indirect"
+                and not cfg.train.stage3_remat
+                and not cfg.train.skip_stage3):
+            # at reference dims the non-remat exact-indirect tri-level
+            # program exceeds v5e HBM (16.04G/15.75G, 30% layout
+            # utilization — scripts/bench_stage3.py); remat is its only
+            # runnable configuration and costs nothing the OOM wouldn't
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, train=_dc.replace(
+                cfg.train, stage3_remat=True))
+            self.cfg = cfg
 
         # models + optimizers
         k_ef, k_w, self.rng = jax.random.split(self.rng, 3)

@@ -168,6 +168,115 @@ def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10,
     }
 
 
+def run_grad_probe(data_dir: str, epochs: int = 10, seed: int = 10):
+    """Paired raw-gradient A/B: one common trajectory (stage3 OFF), and at
+    every epoch end all three modes compute their arch gradient on the
+    SAME (arch, ef_params, w_params, batch) state. This isolates the mode
+    question from optimizer dynamics: the outcome probe above showed the
+    tri-level gradient is small enough that arch weight-decay (1e-3) pulls
+    alpha back to uniform regardless of mode, so post-hoc alpha mass
+    cannot separate modes at probe scale. Reported per mode:
+      pool_push   mean d(pool-mass direction) under descent on the probe
+                  gradient — negative = the mode steers away from the
+                  pool ops (the planted signal's correct direction)
+      sign-       fraction of probes with pool_push < 0
+      |g|         mean gradient norm (alphas_normal)
+    plus pairwise cosine similarity between the modes' alpha gradients.
+    """
+    import jax.numpy as jnp
+
+    from lctvqa.config import (Config, DataConfig, MeshConfig, ModelConfig,
+                               TrainConfig)
+    from lctvqa.models.genotypes import PRIMITIVES
+    from lctvqa.optim.architect_lct import make_lct_arch_grad
+    from lctvqa.text import VocabDict
+    from lctvqa.train.experiment import Experiment, _dev_batch
+    from lctvqa.train.steps import normalize_images
+
+    qv = VocabDict(os.path.join(data_dir, "vocab_questions.txt"))
+    av = VocabDict(os.path.join(data_dir, "vocab_answers.txt"))
+    model = ModelConfig(
+        img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
+        max_qst_len=6, qst_vocab_size=qv.vocab_size,
+        ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
+        # 3 cells so BOTH normal (cell 0) and reduce (cells 1,2) alphas
+        # are live: with darts_layers=1 the lone cell is a reduction cell
+        # (reduction at layers//3==0) and alphas_normal is structurally
+        # unused — its gradient is exactly zero by construction, which is
+        # what the first probe of this A/B unknowingly measured.
+        darts_layers=3, darts_steps=2, darts_multiplier=2,
+        compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
+    cfg = Config(
+        model=model,
+        train=TrainConfig(batch_size=16, num_epochs=1,
+                          skip_stage2=False, skip_stage3=True,
+                          report_freq=1000, seed=seed),
+        data=DataConfig(input_dir=data_dir),
+        mesh=MeshConfig(num_devices=1),
+        exp_name="ab_gradprobe",
+        root_stats_dir=tempfile.mkdtemp(prefix="ab_gradprobe_"))
+    exp = Experiment(cfg)
+    modes = ("exact", "exact-indirect", "fd")
+    grad_fns = {m: jax.jit(make_lct_arch_grad(cfg.model, cfg.train, m))
+                for m in modes}
+
+    def with_img(b):
+        b = _dev_batch(b)
+        return dict(b, image=normalize_images(
+            b["image_u8"], cfg.data.mean, cfg.data.std))
+
+    tb = with_img(next(iter(exp._batches("train", shuffle=False))))
+    vb = with_img(next(iter(exp._batches("valid", shuffle=False))))
+    pool_cols = np.array([PRIMITIVES.index(p) for p in POOLS])
+    tensors = ("alphas_normal", "alphas_reduce")
+    push = {(m, t): [] for m in modes for t in tensors}
+    norms = {(m, t): [] for m in modes for t in tensors}
+    coss = {}
+    lr = jnp.float32(1e-3)
+    for e in range(epochs):
+        exp.train_epoch()
+        rng = jax.random.PRNGKey(1000 + e)
+        gs = {}
+        for m in modes:
+            g, _vl = grad_fns[m](exp.arch, exp.ef_params, exp.w_params,
+                                 tb, vb, lr, lr, rng)
+            flat = []
+            for t in tensors:
+                gn = np.asarray(g[t], np.float64)
+                flat.append(gn.ravel())
+                centered = gn - gn.mean(axis=1, keepdims=True)
+                # descent moves pool logits by -g; softmax mass follows
+                # the centered logit movement to first order
+                push[(m, t)].append(float(-centered[:, pool_cols].mean()))
+                norms[(m, t)].append(float(np.linalg.norm(gn)))
+            gs[m] = np.concatenate(flat)
+        for i, a in enumerate(modes):
+            for b in modes[i + 1:]:
+                c = float(np.dot(gs[a], gs[b]) /
+                          (np.linalg.norm(gs[a]) * np.linalg.norm(gs[b])
+                           + 1e-30))
+                coss.setdefault((a, b), []).append(c)
+    out = {"probe_epochs": epochs}
+    print("\nmode/tensor                     pool_push(mean+-std)   "
+          "sign-  |g|")
+    for m in modes:
+        for t in tensors:
+            p_, n_ = np.array(push[(m, t)]), np.array(norms[(m, t)])
+            frac = float((p_ < 0).mean())
+            out[f"{m}/{t}"] = {"pool_push_mean": float(p_.mean()),
+                               "pool_push_std": float(p_.std()),
+                               "frac_negative": frac,
+                               "grad_norm_mean": float(n_.mean())}
+            print(f"{m:16s}{t:16s} {p_.mean():+.2e}+-{p_.std():.2e}   "
+                  f"{frac:.2f}   {n_.mean():.2e}")
+    print("pairwise cosine(alpha grads, normal+reduce concat):")
+    for (a, b), cs in coss.items():
+        out[f"cos({a},{b})"] = float(np.mean(cs))
+        print(f"  {a} vs {b}: {np.mean(cs):+.3f}")
+    print(json.dumps(out))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=240)
@@ -175,11 +284,18 @@ def main():
                    default="exact,exact-indirect,fd")
     p.add_argument("--arch_lr", type=float, default=6e-3)
     p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--grad_probe", action="store_true",
+                   help="paired raw-gradient A/B on a common trajectory "
+                        "instead of the outcome probe")
+    p.add_argument("--probe_epochs", type=int, default=10)
     args = p.parse_args()
     from lctvqa import compile_cache
     compile_cache.enable()
     data_dir = args.data_dir or make_planted_dataset(
         tempfile.mkdtemp(prefix="ab_planted_"))
+    if args.grad_probe:
+        run_grad_probe(data_dir, epochs=args.probe_epochs)
+        return
     rows = []
     for mode in args.modes.split(","):
         r = run_mode(mode, data_dir, args.steps, arch_lr=args.arch_lr)

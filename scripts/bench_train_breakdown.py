@@ -1,0 +1,110 @@
+"""Per-stage timing breakdown of the LCT train step (chained dispatch).
+
+Attributes the chip-side train-step time (bench.py's scanned variant)
+to: stage1 (EF fwd+bwd+Adam), stage2 (EF.generate 30-step scan + 2x W
+fwd + bwd + Adam), and ef_generate alone (the sequential-scan suspect —
+SURVEY.md hard-part #4). Each section is chained on its own outputs so
+the final readback bounds the chain.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site \
+       python scripts/bench_train_breakdown.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from lctvqa import compile_cache
+    compile_cache.enable()
+    import jax
+    import jax.numpy as jnp
+
+    from lctvqa.config import Config, MeshConfig, ModelConfig, TrainConfig
+    from lctvqa.models import vqa_ef, vqa_w
+    from lctvqa.train.steps import make_lct_steps
+
+    BATCH, IMG, QVOCAB, AVOCAB, QLEN = 64, 64, 8192, 1000, 25
+    rng = np.random.RandomState(0)
+    batch = {
+        "image_u8": jnp.asarray(rng.randint(0, 255, (BATCH, IMG, IMG, 3),
+                                            dtype=np.uint8)),
+        "question": jnp.asarray(
+            rng.randint(4, QVOCAB, (BATCH, QLEN)).astype(np.int32)),
+        "answer_label": jnp.asarray(
+            rng.randint(0, AVOCAB, (BATCH,)).astype(np.int32)),
+        "answer_multi_choice": jnp.asarray(rng.randint(
+            -1, AVOCAB, (BATCH, 10)).astype(np.int32)),
+    }
+    cfg = Config(model=ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                                   ans_vocab_size=AVOCAB,
+                                   arch_type="darts"),
+                 train=TrainConfig(batch_size=BATCH),
+                 mesh=MeshConfig(num_devices=1))
+    steps = make_lct_steps(cfg, unk_idx=1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    ef_params, arch = vqa_ef.init_ef_model(k1, cfg.model)
+    w_params = vqa_w.init_w_model(k2, cfg.model)
+    ef_opt = steps["ef_tx"].init(ef_params)
+    w_opt = steps["w_tx"].init(w_params)
+    keys = [jax.random.PRNGKey(10 + i) for i in range(40)]
+    K = 16
+    results = {}
+
+    def timed(tag, chain, readback):
+        t0 = time.perf_counter()
+        out = chain(0)
+        readback(out)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(K):
+            out = chain(i)
+        readback(out)
+        ms = (time.perf_counter() - t0) / K * 1e3
+        results[tag] = {"ms": round(ms, 2), "compile_s": round(compile_s, 1)}
+        print(tag, results[tag], flush=True)
+
+    # stage1 chained on (ef_params, ef_opt)
+    st = {"ef": ef_params, "efo": ef_opt}
+
+    def chain1(i):
+        st["ef"], st["efo"], l1, _, _ = steps["stage1"](
+            st["ef"], arch, st["efo"], batch, keys[i])
+        return l1
+
+    timed("stage1", chain1, lambda l: float(l))
+
+    # stage2 chained on (w_params, w_opt); EF params fixed
+    st2 = {"w": w_params, "wo": w_opt}
+
+    def chain2(i):
+        st2["w"], st2["wo"], l2, _ = steps["stage2"](
+            st2["w"], st2["wo"], ef_params, arch, batch, keys[i])
+        return l2
+
+    timed("stage2", chain2, lambda l: float(l))
+
+    # generate alone (jitted standalone; fresh rng each call, chained on
+    # nothing device-side — use the token readback to bound each call,
+    # timing K sequential dispatch+readbacks, RTT included; the deltas
+    # between stage2 and this still bound the scan's share)
+    img = (batch["image_u8"].astype(jnp.float32) / 255.0 - 0.45) / 0.225
+    gen = jax.jit(lambda p, a, im, r: vqa_ef.ef_generate(
+        p, a, cfg.model, im, rng=r, deterministic=False,
+        sample_deterministic=True))
+
+    def chain3(i):
+        q, alog = gen(ef_params, arch, img, keys[i])
+        return alog
+
+    timed("ef_generate", chain3, lambda a: float(jnp.sum(a)))
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

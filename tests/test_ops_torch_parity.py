@@ -81,11 +81,12 @@ def test_max_pool():
 @pytest.mark.parametrize("window,stride,padding",
                          [(3, 1, 1), (3, 2, 1), (2, 2, 0)])
 def test_max_pool_grad_matches_torch(window, stride, padding):
-    """max_pool is a custom_jvp (conv.py) whose tangent routes through the
-    first-max window tap; its transpose must equal torch's argmax-routed
-    MaxPool2d backward, INCLUDING on ties (relu-zero windows are common).
-    Second order is exercised separately in tie-free form: torch and the
-    old select_and_scatter path are themselves inconsistent at ties."""
+    """max_pool_tap_jvp's tangent routes through the first-max window
+    tap; its transpose must equal torch's argmax-routed MaxPool2d
+    backward, INCLUDING on ties (relu-zero windows are common). The
+    DEFAULT max_pool ships the select_and_scatter derivative (42% faster
+    train step, NOTES.md round-3) which torch-matches only off ties —
+    this tie-exact variant is the parity-work opt-in."""
     rng = np.random.RandomState(7)
     x = rng.randn(2, 8, 8, 3).astype(np.float32)
     x[0, 0:4, 0:4, 0] = 1.5          # plateaus -> exact ties
@@ -93,7 +94,7 @@ def test_max_pool_grad_matches_torch(window, stride, padding):
     dy_seed = rng.randn(2, 3).astype(np.float32)
 
     def loss_j(t):
-        y = C.max_pool(t, window, stride, padding)
+        y = C.max_pool_tap_jvp(t, window, stride, padding)
         return jnp.sum(y * jnp.asarray(dy_seed)[:, None, None, :])
 
     g = jax.grad(loss_j)(jnp.asarray(x))
@@ -106,9 +107,20 @@ def test_max_pool_grad_matches_torch(window, stride, padding):
     # arbitrary-order AD must stay open (the LCT architect JVPs this)
     v = jnp.asarray(rng.randn(*x.shape).astype(np.float32))
     hv = jax.jvp(jax.grad(lambda t: jnp.sum(
-        C.max_pool(t, window, stride, padding) ** 2)),
+        C.max_pool_tap_jvp(t, window, stride, padding) ** 2)),
         (jnp.asarray(x),), (v,))[1]
     assert np.all(np.isfinite(_np(hv)))
+    # default and tap-jvp max_pool agree on values and (off ties) grads
+    xs = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        _np(C.max_pool(xs, window, stride, padding)),
+        _np(C.max_pool_tap_jvp(xs, window, stride, padding)),
+        rtol=RTOL, atol=ATOL)
+    g_d = jax.grad(lambda t: jnp.sum(
+        C.max_pool(t, window, stride, padding) ** 2))(xs)
+    g_t = jax.grad(lambda t: jnp.sum(
+        C.max_pool_tap_jvp(t, window, stride, padding) ** 2))(xs)
+    np.testing.assert_allclose(_np(g_d), _np(g_t), rtol=RTOL, atol=ATOL)
 
 
 @pytest.mark.parametrize("in_size,out_size", [(2, 7), (16, 7), (7, 7),
