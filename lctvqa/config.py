@@ -123,10 +123,22 @@ class TrainConfig:
     skip_stage3: bool = True
     w_lambda: float = 1.0
     report_freq: int = 10
-    # 'exact'  -> arch gradient by jax.grad through the unrolled inner updates.
-    # 'fd'     -> finite-difference HVPs mirroring the reference
-    #             (basic_vqa/pcdarts/architect_lct.py:181-235).
-    architect_mode: str = "exact"
+    # 'exact'          -> arch gradient by jax.grad through the unrolled
+    #                     inner updates, INCLUDING the direct
+    #                     alpha->generate->pseudo-label path the reference
+    #                     drops (the true gradient of the stated objective).
+    # 'exact-indirect' -> same, with that direct path stop-gradiented —
+    #                     the reference's truncation in exact-HVP form.
+    # 'fd'             -> finite-difference HVPs mirroring the reference
+    #                     literally (basic_vqa/pcdarts/architect_lct.py:181-235).
+    # Default 'exact-indirect': it reproduces the semantics the reference's
+    # 54.72 was trained with at identical measured cost (482 ms/update =
+    # exact's, scripts/bench_stage3.py), and the planted-op gradient probe
+    # (scripts/ab_architect_modes.py --grad_probe, NOTES.md round-3) found
+    # the truncated gradient agrees with fd (cos +0.72) and steers toward
+    # the planted op while 'exact' is dominated ~500x by the direct
+    # label-fitting path pointing the other way.
+    architect_mode: str = "exact-indirect"
     # jax.checkpoint the inner-unroll loss closures of the tri-level
     # architect ('exact' mode): the outer double-backward recomputes the
     # inner forwards instead of keeping their activations live — trades

@@ -43,11 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "ram", "lazy"],
                    help="image residency: RAM, chunked h5 reads, or auto")
     # TPU-native extras
-    p.add_argument("--architect_mode", type=str, default="exact",
+    p.add_argument("--architect_mode", type=str, default="exact-indirect",
                    choices=["exact", "exact-indirect", "fd"])
-    p.add_argument("--stage3_remat", action="store_true",
+    p.add_argument("--stage3_remat", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="jax.checkpoint the tri-level architect's inner "
-                        "unroll losses (memory over speed; see config.py)")
+                        "unroll losses (default ON: faster AND smaller at "
+                        "reference dims; see config.py)")
     p.add_argument("--fuse_mixed_ops", action="store_true",
                    help="edge-batched mixed-op execution "
                         "(models/search_fused.py)")
