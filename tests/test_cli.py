@@ -53,3 +53,37 @@ def test_cli_derived(synth32, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     _run(synth32, tmp_path, "--exp", "cli_derived", "--package", "darts",
          "--arch_type", "derived", "--genotype", "PC_DARTS_cifar")
+
+
+def test_cli_defaults_match_config_defaults():
+    """argparse defaults must not drift from the Config dataclass
+    defaults (caught live in round 3: --architect_mode kept 'exact'
+    after the config default moved to 'exact-indirect'). A default-free
+    CLI invocation must produce exactly the dataclass defaults for every
+    shared hyperparameter."""
+    from lctvqa.config import DataConfig, ModelConfig, TrainConfig
+    from lctvqa.main import build_parser
+
+    args = build_parser().parse_args(
+        ["--input_dir", "/nonexistent", "--exp", "x"])
+    t, m, d = TrainConfig(), ModelConfig(), DataConfig()
+    expected = {
+        "batch_size": t.batch_size, "num_epochs": t.num_epochs,
+        "learning_rate": t.learning_rate, "step_size": t.step_size,
+        "lr_decay": t.lr_decay, "arch_learning_rate": t.arch_learning_rate,
+        "arch_update_freq": t.arch_update_freq, "w_lambda": t.w_lambda,
+        "train_portion": t.train_portion, "seed": t.seed,
+        "architect_mode": t.architect_mode,
+        "stage3_remat": t.stage3_remat,
+        "packed_dispatch": getattr(args, "packed_dispatch",
+                                   t.packed_dispatch),
+        "img_size": m.img_size, "compute_dtype": m.compute_dtype,
+        "num_workers": d.num_workers, "max_num_ans": d.max_num_ans,
+    }
+    for name, want in expected.items():
+        if not hasattr(args, name):
+            continue
+        got = getattr(args, name)
+        assert got == want, (
+            f"CLI default --{name}={got!r} drifted from config "
+            f"default {want!r}")
