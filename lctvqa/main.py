@@ -87,16 +87,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qst_only", action="store_true",
                    help="question-only loss (darts package)")
     p.add_argument("--genotype", type=str, default="",
-                   help="preset genotype name for --arch_type derived "
-                        "(e.g. PC_DARTS_cifar, DARTS_V2)")
+                   help="genotype for --arch_type derived: a preset name "
+                        "(e.g. PC_DARTS_cifar, DARTS_V2), a search "
+                        "checkpoint path (arch decoded on the spot), or a "
+                        "text file with a Genotype(...) repr")
     return p
 
 
 def config_from_args(args) -> Config:
     genotype = None
     if getattr(args, "genotype", ""):
-        from lctvqa.models import genotypes
-        genotype = getattr(genotypes, args.genotype)
+        from lctvqa.genotype import resolve_genotype
+        genotype = resolve_genotype(args.genotype)
     model = ModelConfig(arch_type=args.arch_type,
                         pretrained_enc=not args.no_pretrain_enc,
                         img_size=args.img_size,
