@@ -237,21 +237,28 @@ def test_distributed_initialize_single_process():
 
     Runs in a SUBPROCESS: initialize() must precede any XLA backend use,
     so doing it in this process would depend on test order."""
+    import os
     import subprocess
     import sys
     code = (
-        "from lctvqa.parallel import distributed\n"
+        # pin CPU before backend init: the axon plugin ignores
+        # JAX_PLATFORMS (NOTES.md), and with its tunnel down the
+        # subprocess would hang in PJRT client init
         "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from lctvqa.parallel import distributed\n"
         "distributed.initialize(coordinator_address='127.0.0.1:12398',\n"
         "                       num_processes=1, process_id=0)\n"
         "assert jax.process_count() == 1\n"
         "mesh = distributed.global_mesh()\n"
         "assert mesh.devices.size == jax.device_count()\n"
         "print('DIST_OK')\n")
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))  # no axon plugin path in the child
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        timeout=240,
-        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"})
+        timeout=240, env=env)
     assert "DIST_OK" in out.stdout, out.stderr[-2000:]
 
 
