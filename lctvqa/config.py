@@ -49,6 +49,13 @@ class ModelConfig:
     # 30-step generate scans on v5e); transparently falls back to the jnp
     # cell off-TPU.
     use_pallas_lstm: bool = True
+    # Whole-loop fused greedy decode (ops/pallas_generate.py): the entire
+    # T-step autoregressive generate as ONE kernel with weights resident
+    # in VMEM — cell matmuls + vocab head + argmax + embedding row-select
+    # per step. Greedy path only (temperature sampling keeps the jnp
+    # scan); falls back off-TPU or when the weights exceed the VMEM
+    # budget. Opt-in until measured on the chip.
+    pallas_generate: bool = False
     # Edge-batched mixed-op execution (models/search_fused.py): same math,
     # fewer/wider launches. Measured on v5e at reference dims: loses in
     # every variant (fwd+bwd 75.5 ms vs 46.8 ms for the default unfused

@@ -64,6 +64,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_mixed_op", action="store_true",
                    help="Pallas whole-edge mixed-op kernel in an HWCN "
                         "trunk (see config.py for measured numbers)")
+    p.add_argument("--pallas_generate", action="store_true",
+                   help="whole-loop fused Pallas greedy decode "
+                        "(ops/pallas_generate.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
@@ -109,7 +112,8 @@ def config_from_args(args) -> Config:
                         fold_bn_mixture=not args.no_fold_bn,
                         remat_cells=args.remat_cells,
                         pack_conv_branches=args.pack_conv_branches,
-                        pallas_mixed_op=args.pallas_mixed_op)
+                        pallas_mixed_op=args.pallas_mixed_op,
+                        pallas_generate=args.pallas_generate)
     if args.tiny:
         model = dataclasses.replace(
             model, img_embed_size=16, word_embed_size=8,

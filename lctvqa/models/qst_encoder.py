@@ -80,7 +80,8 @@ def ef_qst_generate(params, image_embedding, max_length: int,
                     rng: Optional[jax.Array] = None,
                     deterministic: bool = True,
                     temperature: float = 0.1,
-                    dtype=None, use_pallas=False) -> jax.Array:
+                    dtype=None, use_pallas=False,
+                    use_pallas_generate: bool = False) -> jax.Array:
     """Autoregressive question generation as one `lax.scan`.
 
     Mirrors `models_lct.py:124-170`: the `<start>` embedding gets a tanh
@@ -93,6 +94,18 @@ def ef_qst_generate(params, image_embedding, max_length: int,
     Returns tokens int32 [B, max_length].
     """
     assert len(params["lstm"]["layers"]) == 1, "generate needs num_layers=1"
+    if deterministic and use_pallas_generate:
+        # whole-loop fused kernel (greedy path only; ops/pallas_generate.py)
+        from lctvqa.ops import pallas_generate as PG
+        table = params["word2vec"]["table"]
+        hid = params["lstm"]["layers"][0]["w_hh"].shape[0]
+        on_tpu = jax.default_backend() == "tpu" or PG.PALLAS_GEN_INTERPRET
+        if on_tpu and PG.generate_eligible(
+                image_embedding.shape[0], hid, table.shape[1],
+                table.shape[0], dtype):
+            return PG.greedy_generate_pallas(
+                params, image_embedding, max_length, dtype=dtype,
+                force_interpret=PG.PALLAS_GEN_INTERPRET)
     lp = params["lstm"]["layers"][0]
     b = image_embedding.shape[0]
     h0 = image_embedding.reshape(b, -1)

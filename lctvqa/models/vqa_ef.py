@@ -137,7 +137,8 @@ def ef_generate(params, arch, cfg: ModelConfig, img,
     qst = ef_qst_generate(params["qst"], img_feature, cfg.max_qst_len,
                           rng=r_sample, deterministic=sample_deterministic,
                           temperature=temperature, dtype=dt,
-                          use_pallas=cfg.use_pallas_lstm)
+                          use_pallas=cfg.use_pallas_lstm,
+                          use_pallas_generate=cfg.pallas_generate)
     qst_feature, _ = ef_qst_encoder(params["qst"], qst, img_feature,
                                     dtype=dt,
                                     use_pallas=cfg.use_pallas_lstm)

@@ -71,7 +71,8 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
     # == XLA fold (tests/test_pallas_mixedop.py) — the swap is provably
     # benign to float tolerance.
     mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
-                               pallas_mixed_op=False)
+                               pallas_mixed_op=False,
+                               pallas_generate=False)
     temp = tcfg.temperature
     w_lambda = tcfg.w_lambda
 
