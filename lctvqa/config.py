@@ -49,6 +49,11 @@ class ModelConfig:
     # 30-step generate scans on v5e); transparently falls back to the jnp
     # cell off-TPU.
     use_pallas_lstm: bool = True
+    # Whole-sequence fused LSTM for the W question encoder (only the
+    # final (h, c) is consumed, so the T-step scan is one kernel with a
+    # time grid and persistent h/c scratch; differentiable via a jnp-scan
+    # JVP rule). Opt-in until measured on the chip.
+    pallas_seq_lstm: bool = False
     # Whole-loop fused greedy decode (ops/pallas_generate.py): the entire
     # T-step autoregressive generate as ONE kernel with weights resident
     # in VMEM — cell matmuls + vocab head + argmax + embedding row-select

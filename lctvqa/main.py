@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_generate", action="store_true",
                    help="whole-loop fused Pallas greedy decode "
                         "(ops/pallas_generate.py)")
+    p.add_argument("--pallas_seq_lstm", action="store_true",
+                   help="whole-sequence fused LSTM for the W question "
+                        "encoder (ops/pallas_lstm.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")
@@ -113,7 +116,8 @@ def config_from_args(args) -> Config:
                         remat_cells=args.remat_cells,
                         pack_conv_branches=args.pack_conv_branches,
                         pallas_mixed_op=args.pallas_mixed_op,
-                        pallas_generate=args.pallas_generate)
+                        pallas_generate=args.pallas_generate,
+                        pallas_seq_lstm=args.pallas_seq_lstm)
     if args.tiny:
         model = dataclasses.replace(
             model, img_embed_size=16, word_embed_size=8,

@@ -32,14 +32,25 @@ def w_qst_encoder_init(key, qst_vocab_size, word_embed_size, embed_size,
     }
 
 
-def w_qst_encoder(params, question, dtype=None, use_pallas=False):
+def w_qst_encoder(params, question, dtype=None, use_pallas=False,
+                  use_pallas_seq=False):
     """question int32 [B, T] -> [B, embed_size]."""
     x = jnp.tanh(N.embed(params["word2vec"], question))
-    _, (h_n, c_n) = lstm(params["lstm"], x, dtype=dtype,
-                         use_pallas=use_pallas)
-    # cat(h, c) along feature, then [L,B,2H] -> [B, L*2H] as in the reference
-    feat = jnp.concatenate([h_n, c_n], axis=2)
-    feat = jnp.swapaxes(feat, 0, 1).reshape(question.shape[0], -1)
+    layers = params["lstm"]["layers"]
+    if use_pallas_seq and len(layers) == 1:
+        # only the FINAL (h, c) is consumed (models.py:56-62), so the whole
+        # T-step scan collapses to one Pallas kernel (grid over time,
+        # persistent h/c scratch); differentiable via its jnp-scan JVP rule
+        from lctvqa.ops.pallas_lstm import lstm_seq_final_pallas
+        h_n, c_n = lstm_seq_final_pallas(layers[0], x, None, None,
+                                         dtype=dtype)
+        feat = jnp.concatenate([h_n, c_n], axis=1)
+    else:
+        _, (h_n, c_n) = lstm(params["lstm"], x, dtype=dtype,
+                             use_pallas=use_pallas)
+        # cat(h, c) along feature, [L,B,2H] -> [B, L*2H] as in the reference
+        feat = jnp.concatenate([h_n, c_n], axis=2)
+        feat = jnp.swapaxes(feat, 0, 1).reshape(question.shape[0], -1)
     return N.linear(params["fc"], jnp.tanh(feat), dtype=dtype)
 
 

@@ -59,7 +59,8 @@ def w_forward(params, cfg: ModelConfig, img, qst,
                               deterministic=deterministic, dtype=dt)
     img_feature = N.l2_normalize(N.linear(params["img_fc"], feat, dtype=dt))
     qst_feature = w_qst_encoder(params["qst"], qst, dtype=dt,
-                                use_pallas=cfg.use_pallas_lstm)
+                                use_pallas=cfg.use_pallas_lstm,
+                                use_pallas_seq=cfg.pallas_seq_lstm)
     x = jnp.tanh(img_feature * qst_feature)
     x = N.dropout(x, cfg.dropout_rate, r1, deterministic)
     x = jnp.tanh(N.linear(params["fc1"], x, dtype=dt))

@@ -109,3 +109,138 @@ def lstm_cell_pallas(layer_params, x, h, c, dtype=None,
     interpret = jax.default_backend() != "tpu"
     return _fused_cell(x, h.astype(x.dtype), c.astype(jnp.float32),
                        w_ih, w_hh, b.astype(jnp.float32), interpret)
+
+
+# --------------------------------------------------------------------------
+# Whole-sequence LSTM (final state only) — one kernel for the W encoder
+# --------------------------------------------------------------------------
+
+def _seq_kernel(x_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
+                h_out_ref, c_out_ref, h_s, c_s):
+    """grid=(T,): the TPU grid is sequential and scratch persists across
+    iterations, so h_s/c_s carry the recurrence; x is streamed one [B, E]
+    time-slab per iteration (weights stay VMEM-resident via their constant
+    index_map)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    gates = (jnp.dot(x_ref[0].astype(wih_ref.dtype), wih_ref[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(h_s[:].astype(whh_ref.dtype), whh_ref[:],
+                       preferred_element_type=jnp.float32)
+             + b_ref[:])
+    hid = h_s.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hid])
+    f = jax.nn.sigmoid(gates[:, hid:2 * hid])
+    g = jnp.tanh(gates[:, 2 * hid:3 * hid])
+    o = jax.nn.sigmoid(gates[:, 3 * hid:])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_s[:] = h_new
+    c_s[:] = c_new
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        h_out_ref[:] = h_new
+        c_out_ref[:] = c_new
+
+
+def _seq_forward(xs, h0, c0, w_ih, w_hh, b, interpret: bool):
+    seq, bsz, emb = xs.shape
+    hid = h0.shape[-1]
+    full = lambda *_: (0, 0)
+    return pl.pallas_call(
+        _seq_kernel,
+        grid=(seq,),
+        out_shape=(jax.ShapeDtypeStruct((bsz, hid), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, hid), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec((1, bsz, emb), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((emb, 4 * hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, 4 * hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hid), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((bsz, hid), full, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bsz, hid), full,
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((bsz, hid), jnp.float32),
+                        pltpu.VMEM((bsz, hid), jnp.float32)],
+        interpret=interpret,
+    )(xs, h0, c0, w_ih, w_hh, b)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(6,))
+def _fused_seq(xs, h0, c0, w_ih, w_hh, b, interpret):
+    return _seq_forward(xs, h0, c0, w_ih, w_hh, b, interpret)
+
+
+@_fused_seq.defjvp
+def _fused_seq_jvp(interpret, primals, tangents):
+    """Tangent rule: jax.jvp of the jnp scan (primal trajectory recomputed
+    in jnp — same pattern as _fused_cell_jvp). Delegating to jax.jvp keeps
+    the rule transposable (reverse mode) and re-differentiable (the
+    architects' second-order AD); the kernel primal and the scan's
+    recomputed trajectory agree to float tolerance, and the tangent scan
+    only runs when the caller differentiates, so eval/serving pays
+    nothing."""
+    h_out, c_out = _fused_seq(*primals, interpret)
+
+    def ref(xs, h0, c0, w_ih, w_hh, b):
+        def step(carry, x):
+            h, c = carry
+            gates = (jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+                     + jnp.dot(h.astype(w_hh.dtype), w_hh,
+                               preferred_element_type=jnp.float32)
+                     + b)
+            hid = h.shape[-1]
+            i = jax.nn.sigmoid(gates[:, :hid])
+            f = jax.nn.sigmoid(gates[:, hid:2 * hid])
+            g = jnp.tanh(gates[:, 2 * hid:3 * hid])
+            o = jax.nn.sigmoid(gates[:, 3 * hid:])
+            c_new = f * c + i * g
+            return (o * jnp.tanh(c_new), c_new), None
+
+        (h_n, c_n), _ = jax.lax.scan(step, (h0, c0), xs)
+        return h_n, c_n
+
+    _, (th, tc) = jax.jvp(ref, primals, tangents)
+    return (h_out, c_out), (th, tc)
+
+
+def lstm_seq_final_pallas(layer_params, xs, h0, c0, dtype=None,
+                          force_interpret: bool = False):
+    """Whole-sequence LSTM returning ONLY the final (h, c) — the W-model
+    question encoder discards per-step outputs (`basic_vqa/models.py:56-62`
+    uses just (h_n, c_n)), so the 30-step scan collapses to one kernel.
+
+    xs [B, T, E]; h0/c0 [B, H] or None. Returns (h_n, c_n) each [B, H] f32.
+    """
+    if jax.default_backend() != "tpu" and not force_interpret:
+        from lctvqa.ops.lstm import lstm
+        _, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
+                             h0=None if h0 is None else h0[None],
+                             c0=None if c0 is None else c0[None],
+                             dtype=dtype)
+        return h_n[0], c_n[0]
+    b, _, _ = xs.shape
+    hid = layer_params["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((b, hid), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((b, hid), jnp.float32)
+    w_ih, w_hh = layer_params["w_ih"], layer_params["w_hh"]
+    bias = (layer_params["b_ih"] + layer_params["b_hh"]).astype(
+        jnp.float32)[None, :]
+    cdt = dtype or jnp.float32
+    xs_t = jnp.swapaxes(xs, 0, 1).astype(cdt)  # time-major for the grid
+    interpret = force_interpret or jax.default_backend() != "tpu"
+    return _fused_seq(xs_t, h0.astype(jnp.float32),
+                      c0.astype(jnp.float32), w_ih.astype(cdt),
+                      w_hh.astype(cdt), bias, interpret)

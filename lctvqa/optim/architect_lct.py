@@ -72,7 +72,8 @@ def make_lct_arch_grad(mcfg: ModelConfig, tcfg: TrainConfig,
     # benign to float tolerance.
     mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
                                pallas_mixed_op=False,
-                               pallas_generate=False)
+                               pallas_generate=False,
+                               pallas_seq_lstm=False)
     temp = tcfg.temperature
     w_lambda = tcfg.w_lambda
 

@@ -49,7 +49,8 @@ def make_darts_steps(cfg: Config, unk_idx: int, qst_only: bool = False):
     # optim/architect_lct.make_lct_arch_grad for the full story).
     arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
                                     pallas_mixed_op=False,
-                                    pallas_generate=False)
+                                    pallas_generate=False,
+                                    pallas_seq_lstm=False)
 
     def loss_fn(p, a, batch, rng):
         return vqa_ef.ef_loss(p, a, arch_mcfg, batch["image"],
@@ -125,7 +126,8 @@ def make_unified_steps(cfg: Config):
     # see make_darts_steps: kernels swapped for second-order AD
     arch_mcfg = dataclasses.replace(mcfg, use_pallas_lstm=False,
                                     pallas_mixed_op=False,
-                                    pallas_generate=False)
+                                    pallas_generate=False,
+                                    pallas_seq_lstm=False)
 
     def loss_fn(p, a, batch, rng):
         return unified_model.unified_loss(p, a, arch_mcfg, batch["image"],

@@ -147,3 +147,119 @@ def test_pallas_bn_bf16_out():
     x = jax.random.normal(jax.random.PRNGKey(13), (2, 4, 4, 8))
     y = batchnorm_pallas(x, out_dtype=jnp.bfloat16, force_interpret=True)
     assert y.dtype == jnp.bfloat16
+
+
+# --------------------------------------------------------------------------
+# Whole-sequence LSTM kernel (final state only)
+# --------------------------------------------------------------------------
+
+def _seq_setup(b=4, t=7, in_sz=8, hid=16, seed=3):
+    params = lstm_init(jax.random.PRNGKey(seed), in_sz, hid, 1)
+    xs = jax.random.normal(jax.random.PRNGKey(seed + 1), (b, t, in_sz))
+    return params, xs
+
+
+def _seq_ref(params, xs, h0=None, c0=None):
+    from lctvqa.ops.lstm import lstm
+    _, (h_n, c_n) = lstm(params, xs,
+                         h0=None if h0 is None else h0[None],
+                         c0=None if c0 is None else c0[None])
+    return h_n[0], c_n[0]
+
+
+def test_seq_kernel_matches_scan_forward():
+    from lctvqa.ops.pallas_lstm import lstm_seq_final_pallas
+    params, xs = _seq_setup()
+    lp = params["layers"][0]
+    h_ref, c_ref = _seq_ref(params, xs)
+    h_pal, c_pal = lstm_seq_final_pallas(lp, xs, None, None,
+                                         force_interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pal), np.asarray(h_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-6, atol=1e-6)
+    # with explicit initial state
+    b, hid = h_ref.shape
+    h0 = jax.random.normal(jax.random.PRNGKey(9), (b, hid))
+    h_ref2, c_ref2 = _seq_ref(params, xs, h0, h0)
+    h_pal2, c_pal2 = lstm_seq_final_pallas(lp, xs, h0, h0,
+                                           force_interpret=True)
+    np.testing.assert_allclose(np.asarray(h_pal2), np.asarray(h_ref2),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_pal2), np.asarray(c_ref2),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_seq_kernel_gradients_match_scan():
+    from lctvqa.ops.pallas_lstm import lstm_seq_final_pallas
+    params, xs = _seq_setup()
+    lp = params["layers"][0]
+
+    def loss_pal(lp_, xs_):
+        h, c = lstm_seq_final_pallas(lp_, xs_, None, None,
+                                     force_interpret=True)
+        return jnp.sum(jnp.tanh(h) ** 2) + jnp.sum(c ** 2)
+
+    def loss_ref(lp_, xs_):
+        h, c = _seq_ref({"layers": [lp_]}, xs_)
+        return jnp.sum(jnp.tanh(h) ** 2) + jnp.sum(c ** 2)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(lp, xs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(lp, xs)
+    for a, b in zip(jax.tree_util.tree_leaves(g_pal),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_seq_kernel_second_order_ad():
+    from lctvqa.ops.pallas_lstm import lstm_seq_final_pallas
+    params, xs = _seq_setup(b=2, t=3, in_sz=4, hid=8)
+    lp = params["layers"][0]
+
+    def scalar(lp_):
+        h, c = lstm_seq_final_pallas(lp_, xs, None, None,
+                                     force_interpret=True)
+        return jnp.sum(h ** 2)
+
+    def scalar_ref(lp_):
+        h, c = _seq_ref({"layers": [lp_]}, xs)
+        return jnp.sum(h ** 2)
+
+    g2 = jax.grad(lambda lp_: sum(
+        jnp.sum(v ** 2) for v in jax.tree_util.tree_leaves(
+            jax.grad(scalar)(lp_))))(lp)
+    g2_ref = jax.grad(lambda lp_: sum(
+        jnp.sum(v ** 2) for v in jax.tree_util.tree_leaves(
+            jax.grad(scalar_ref)(lp_))))(lp)
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g2_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_w_encoder_pallas_seq_route(monkeypatch):
+    """w_qst_encoder(use_pallas=True) routes through the sequence kernel
+    and matches the scan path."""
+    import lctvqa.ops.pallas_lstm as PL
+    from lctvqa.models import qst_encoder
+
+    params = qst_encoder.w_qst_encoder_init(
+        jax.random.PRNGKey(5), qst_vocab_size=30, word_embed_size=8,
+        embed_size=12, num_layers=1, hidden_size=16)
+    q = jax.random.randint(jax.random.PRNGKey(6), (4, 7), 0, 30)
+
+    orig = PL.lstm_seq_final_pallas
+    called = []
+
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+        called.append(1)
+        return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
+
+    monkeypatch.setattr(PL, "lstm_seq_final_pallas", forced)
+    out_pal = qst_encoder.w_qst_encoder(params, q,
+                                        use_pallas_seq=True)
+    assert called
+    out_ref = qst_encoder.w_qst_encoder(params, q, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=1e-6, atol=1e-6)
