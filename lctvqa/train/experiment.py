@@ -93,13 +93,18 @@ class Experiment:
         self.batch_sharding = (mesh_lib.batch_sharding(self.mesh)
                                if self.mesh else None)
         if self.mesh is not None and self.mesh.devices.size > 1:
-            # the Pallas mixed-op kernel computes per-shard BN statistics;
-            # under a >1-device DP mesh that breaks the global-batch
-            # sync-BN semantics (tests/test_mesh.py pins sharded ==
-            # single-device), so it is XLA-path-only there
+            # Pallas kernels are single-chip accelerations here: the
+            # mixed-op kernel computes per-shard BN statistics (breaks the
+            # global-batch sync-BN semantics tests/test_mesh.py pins), and
+            # pjit cannot auto-partition Mosaic custom calls over a
+            # sharded batch (per-shard shard_map wiring is the future
+            # path). Off-TPU the LSTM kernels silently fall back to jnp,
+            # which would HIDE the partitioning hazard in the CPU mesh
+            # tests — force them off explicitly instead.
             import dataclasses as _dc
             cfg = _dc.replace(cfg, model=_dc.replace(
-                cfg.model, pallas_mixed_op=False))
+                cfg.model, pallas_mixed_op=False, use_pallas_lstm=False,
+                pallas_generate=False, pallas_seq_lstm=False))
             self.cfg = cfg
         if (cfg.train.architect_mode == "exact-indirect"
                 and not cfg.train.stage3_remat

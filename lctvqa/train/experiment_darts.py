@@ -232,6 +232,13 @@ class DartsExperiment:
                      if use_mesh else None)
         self.batch_sharding = (mesh_lib.batch_sharding(self.mesh)
                                if self.mesh else None)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # Pallas kernels are single-chip-only (pjit cannot
+            # auto-partition Mosaic calls; see Experiment.__init__)
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, pallas_mixed_op=False, use_pallas_lstm=False,
+                pallas_generate=False, pallas_seq_lstm=False))
+            self.cfg = cfg
 
         key = self._next_rng()
         self._init_model(key)

@@ -99,7 +99,10 @@ def test_darts_experiment_resume_and_guard(synth_dir, tmp_path):
     from lctvqa.train import checkpoint
     saved_cfg = checkpoint.load_config(
         os.path.join(exp.exp_dir, "vqa_model.ckpt"))
-    assert saved_cfg is not None and saved_cfg.model == cfg.model
+    # the embedded config is the model AS RUN (the >1-device mesh guard
+    # rewrites single-chip-only Pallas execution flags, experiment_darts
+    # __init__), so compare against the experiment's effective config
+    assert saved_cfg is not None and saved_cfg.model == exp.cfg.model
 
 
 def test_unified_experiment_one_epoch(synth_dir, tmp_path):
