@@ -68,7 +68,7 @@ def ef_qst_encoder_init(key, qst_vocab_size, word_embed_size, embed_size,
 
 
 def ef_qst_encoder(params, question, image_embedding, dtype=None,
-                   use_pallas=False):
+                   use_pallas=False, use_pallas_seq=False):
     """Teacher-forced forward conditioned on the image.
 
     Returns (qst_feature [B, embed], qst_logits [B, T, V]).
@@ -76,12 +76,21 @@ def ef_qst_encoder(params, question, image_embedding, dtype=None,
     hidden_size must equal the image embed size.
     """
     b = question.shape[0]
-    h0 = image_embedding.reshape(1, b, -1)
     x = jnp.tanh(N.embed(params["word2vec"], question))
-    outs, (h_n, c_n) = lstm(params["lstm"], x, h0=h0, c0=h0, dtype=dtype,
-                            use_pallas=use_pallas)
-    feat = jnp.concatenate([h_n, c_n], axis=2)
-    feat = jnp.swapaxes(feat, 0, 1).reshape(b, -1)
+    layers = params["lstm"]["layers"]
+    if use_pallas_seq and len(layers) == 1:
+        # whole T-step recurrence as one kernel (per-step outputs variant)
+        from lctvqa.ops.pallas_lstm import lstm_seq_pallas
+        h0 = image_embedding.reshape(b, -1)
+        outs, (h_n, c_n) = lstm_seq_pallas(layers[0], x, h0, h0,
+                                           dtype=dtype)
+        feat = jnp.concatenate([h_n, c_n], axis=1)
+    else:
+        h0 = image_embedding.reshape(1, b, -1)
+        outs, (h_n, c_n) = lstm(params["lstm"], x, h0=h0, c0=h0,
+                                dtype=dtype, use_pallas=use_pallas)
+        feat = jnp.concatenate([h_n, c_n], axis=2)
+        feat = jnp.swapaxes(feat, 0, 1).reshape(b, -1)
     qst_feature = N.linear(params["fc1"], jnp.tanh(feat), dtype=dtype)
     qst_logits = N.linear(params["fc2"], jnp.tanh(outs), dtype=dtype)
     return qst_feature, qst_logits

@@ -110,7 +110,8 @@ def ef_forward(params, arch, cfg: ModelConfig, img, qst,
     img_feature = ef_img_encode(params, arch, cfg, img, r_enc, deterministic)
     qst_feature, qst_logits = ef_qst_encoder(
         params["qst"], qst, img_feature, dtype=dt,
-        use_pallas=cfg.use_pallas_lstm)
+        use_pallas=cfg.use_pallas_lstm,
+        use_pallas_seq=cfg.pallas_seq_lstm)
     ans = _answer_head(params, cfg, img_feature, qst_feature, r_head,
                        deterministic)
     return ans, qst_logits
@@ -141,7 +142,8 @@ def ef_generate(params, arch, cfg: ModelConfig, img,
                           use_pallas_generate=cfg.pallas_generate)
     qst_feature, _ = ef_qst_encoder(params["qst"], qst, img_feature,
                                     dtype=dt,
-                                    use_pallas=cfg.use_pallas_lstm)
+                                    use_pallas=cfg.use_pallas_lstm,
+                                    use_pallas_seq=cfg.pallas_seq_lstm)
     ans = _answer_head(params, cfg, img_feature, qst_feature, r_head,
                        deterministic)
     return qst, ans

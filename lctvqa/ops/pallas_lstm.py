@@ -244,3 +244,137 @@ def lstm_seq_final_pallas(layer_params, xs, h0, c0, dtype=None,
     return _fused_seq(xs_t, h0.astype(jnp.float32),
                       c0.astype(jnp.float32), w_ih.astype(cdt),
                       w_hh.astype(cdt), bias, interpret)
+
+
+# --------------------------------------------------------------------------
+# Whole-sequence LSTM with per-step outputs — the EF teacher-forced encoder
+# --------------------------------------------------------------------------
+
+def _seq_all_kernel(x_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
+                    out_ref, h_out_ref, c_out_ref, h_s, c_s):
+    """Same time-grid recurrence as _seq_kernel but every step's h is
+    emitted (the EF encoder's vocab head consumes all outputs,
+    models_lct.py:96-122)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_s[:] = h0_ref[:]
+        c_s[:] = c0_ref[:]
+
+    gates = (jnp.dot(x_ref[0].astype(wih_ref.dtype), wih_ref[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(h_s[:].astype(whh_ref.dtype), whh_ref[:],
+                       preferred_element_type=jnp.float32)
+             + b_ref[:])
+    hid = h_s.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :hid])
+    f = jax.nn.sigmoid(gates[:, hid:2 * hid])
+    g = jnp.tanh(gates[:, 2 * hid:3 * hid])
+    o = jax.nn.sigmoid(gates[:, 3 * hid:])
+    c_new = f * c_s[:] + i * g
+    h_new = o * jnp.tanh(c_new)
+    h_s[:] = h_new
+    c_s[:] = c_new
+    out_ref[0] = h_new
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        h_out_ref[:] = h_new
+        c_out_ref[:] = c_new
+
+
+def _seq_all_forward(xs, h0, c0, w_ih, w_hh, b, interpret: bool):
+    seq, bsz, emb = xs.shape
+    hid = h0.shape[-1]
+    full = lambda *_: (0, 0)
+    return pl.pallas_call(
+        _seq_all_kernel,
+        grid=(seq,),
+        out_shape=(jax.ShapeDtypeStruct((seq, bsz, hid), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, hid), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, hid), jnp.float32)),
+        in_specs=[
+            pl.BlockSpec((1, bsz, emb), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((emb, 4 * hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hid, 4 * hid), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hid), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((1, bsz, hid), lambda t: (t, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bsz, hid), full,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((bsz, hid), full,
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((bsz, hid), jnp.float32),
+                        pltpu.VMEM((bsz, hid), jnp.float32)],
+        interpret=interpret,
+    )(xs, h0, c0, w_ih, w_hh, b)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(6,))
+def _fused_seq_all(xs, h0, c0, w_ih, w_hh, b, interpret):
+    return _seq_all_forward(xs, h0, c0, w_ih, w_hh, b, interpret)
+
+
+@_fused_seq_all.defjvp
+def _fused_seq_all_jvp(interpret, primals, tangents):
+    """Tangent rule via jax.jvp of the jnp scan (see _fused_seq_jvp)."""
+    outs, h_out, c_out = _fused_seq_all(*primals, interpret)
+
+    def ref(xs, h0, c0, w_ih, w_hh, b):
+        def step(carry, x):
+            h, c = carry
+            gates = (jnp.dot(x, w_ih, preferred_element_type=jnp.float32)
+                     + jnp.dot(h.astype(w_hh.dtype), w_hh,
+                               preferred_element_type=jnp.float32)
+                     + b)
+            hid = h.shape[-1]
+            i = jax.nn.sigmoid(gates[:, :hid])
+            f = jax.nn.sigmoid(gates[:, hid:2 * hid])
+            g = jnp.tanh(gates[:, 2 * hid:3 * hid])
+            o = jax.nn.sigmoid(gates[:, 3 * hid:])
+            c_new = f * c + i * g
+            h_new = o * jnp.tanh(c_new)
+            return (h_new, c_new), h_new
+
+        (h_n, c_n), hs = jax.lax.scan(step, (h0, c0), xs)
+        return hs, h_n, c_n
+
+    _, t_out = jax.jvp(ref, primals, tangents)
+    return (outs, h_out, c_out), t_out
+
+
+def lstm_seq_pallas(layer_params, xs, h0, c0, dtype=None,
+                    force_interpret: bool = False):
+    """Whole-sequence LSTM with per-step outputs as one kernel.
+
+    xs [B, T, E]; h0/c0 [B, H] or None.
+    Returns (outputs [B, T, H] f32, (h_n, c_n) each [B, H] f32).
+    """
+    if jax.default_backend() != "tpu" and not force_interpret:
+        from lctvqa.ops.lstm import lstm
+        outs, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
+                                h0=None if h0 is None else h0[None],
+                                c0=None if c0 is None else c0[None],
+                                dtype=dtype)
+        return outs, (h_n[0], c_n[0])
+    b = xs.shape[0]
+    hid = layer_params["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((b, hid), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((b, hid), jnp.float32)
+    cdt = dtype or jnp.float32
+    bias = (layer_params["b_ih"] + layer_params["b_hh"]).astype(
+        jnp.float32)[None, :]
+    xs_t = jnp.swapaxes(xs, 0, 1).astype(cdt)
+    interpret = force_interpret or jax.default_backend() != "tpu"
+    outs, h_n, c_n = _fused_seq_all(
+        xs_t, h0.astype(jnp.float32), c0.astype(jnp.float32),
+        layer_params["w_ih"].astype(cdt), layer_params["w_hh"].astype(cdt),
+        bias, interpret)
+    return jnp.swapaxes(outs, 0, 1), (h_n, c_n)

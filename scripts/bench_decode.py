@@ -97,6 +97,61 @@ def main():
                               results[key + "_pairs_per_sec"]}),
                   flush=True)
 
+    # ---- 3. full stage1+stage2 train step, kernel on/off -------------
+    from lctvqa.config import Config, MeshConfig, TrainConfig
+    from lctvqa.models import vqa_ef
+    from lctvqa.train.steps import make_lct_steps
+
+    QLEN = 25
+    batch = {
+        "image_u8": jax.device_put(rng.randint(
+            0, 255, (B, IMG, IMG, 3), dtype=np.uint8)),
+        "question": jax.device_put(rng.randint(
+            4, V, (B, QLEN)).astype(np.int32)),
+        "answer_label": jax.device_put(rng.randint(
+            0, A, (B,)).astype(np.int32)),
+        "answer_multi_choice": jax.device_put(rng.randint(
+            -1, A, (B, 10)).astype(np.int32)),
+    }
+    for tag, seq, gen in [("base", False, False), ("seq", True, False),
+                          ("gen", False, True), ("seq+gen", True, True)]:
+        cfg = Config(model=ModelConfig(img_size=IMG, qst_vocab_size=V,
+                                       ans_vocab_size=A,
+                                       arch_type="darts",
+                                       pallas_seq_lstm=seq,
+                                       pallas_generate=gen),
+                     train=TrainConfig(batch_size=B),
+                     mesh=MeshConfig(num_devices=1))
+        steps = make_lct_steps(cfg, unk_idx=1)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        ef_params, arch = vqa_ef.init_ef_model(k1, cfg.model)
+        w_params = vqa_w.init_w_model(k2, cfg.model)
+        ef_opt = steps["ef_tx"].init(ef_params)
+        w_opt = steps["w_tx"].init(w_params)
+
+        def one(ef_p, ef_o, w_p, w_o, r, steps=steps):
+            r1, r2 = jax.random.split(r)
+            ef_p, ef_o, l1, _, _ = steps["stage1"](ef_p, arch, ef_o,
+                                                   batch, r1)
+            w_p, w_o, l2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
+                                              batch, r2)
+            return ef_p, ef_o, w_p, w_o, l2
+
+        keys = [jax.random.PRNGKey(10 + i) for i in range(20)]
+        s = one(ef_params, ef_opt, w_params, w_opt, keys[0])
+        float(s[4])  # compile + warm
+        ef_p, ef_o, w_p, w_o = ef_params, ef_opt, w_params, w_opt
+        K = 16
+        t0 = time.perf_counter()
+        for i in range(K):
+            ef_p, ef_o, w_p, w_o, l2 = one(ef_p, ef_o, w_p, w_o, keys[i])
+        float(l2)  # bounds the whole chain
+        ms = (time.perf_counter() - t0) / K * 1e3
+        results[f"train_step_{tag}_ms"] = round(ms, 2)
+        results[f"train_step_{tag}_pairs_per_sec"] = round(B / ms * 1e3)
+        print(json.dumps({f"train_step_{tag}_ms": round(ms, 2)}),
+              flush=True)
+
     print(json.dumps(results))
 
 

@@ -263,3 +263,78 @@ def test_w_encoder_pallas_seq_route(monkeypatch):
     out_ref = qst_encoder.w_qst_encoder(params, q, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_seq_all_kernel_matches_scan():
+    from lctvqa.ops.pallas_lstm import lstm_seq_pallas
+    params, xs = _seq_setup()
+    lp = params["layers"][0]
+    b, hid = xs.shape[0], lp["w_hh"].shape[0]
+    h0 = jax.random.normal(jax.random.PRNGKey(11), (b, hid))
+
+    from lctvqa.ops.lstm import lstm
+    outs_ref, (h_ref, c_ref) = lstm(params, xs, h0=h0[None], c0=h0[None])
+    outs, (h_n, c_n) = lstm_seq_pallas(lp, xs, h0, h0,
+                                       force_interpret=True)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_n), np.asarray(h_ref[0]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(c_n), np.asarray(c_ref[0]),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_seq_all_kernel_gradients_match_scan():
+    from lctvqa.ops.lstm import lstm
+    from lctvqa.ops.pallas_lstm import lstm_seq_pallas
+    params, xs = _seq_setup()
+    lp = params["layers"][0]
+    b, hid = xs.shape[0], lp["w_hh"].shape[0]
+    h0 = jax.random.normal(jax.random.PRNGKey(12), (b, hid))
+
+    def loss_pal(lp_, h0_):
+        outs, (h, c) = lstm_seq_pallas(lp_, xs, h0_, h0_,
+                                       force_interpret=True)
+        return jnp.sum(jnp.tanh(outs) ** 2) + jnp.sum(h * c)
+
+    def loss_ref(lp_, h0_):
+        outs, (h, c) = lstm({"layers": [lp_]}, xs, h0=h0_[None],
+                            c0=h0_[None])
+        return jnp.sum(jnp.tanh(outs) ** 2) + jnp.sum(h[0] * c[0])
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1))(lp, h0)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(lp, h0)
+    for a, b_ in zip(jax.tree_util.tree_leaves(g_pal),
+                     jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_ef_encoder_pallas_seq_route(monkeypatch):
+    """ef_qst_encoder(use_pallas_seq=True) routes through the per-step
+    output kernel and matches the scan path (features AND logits)."""
+    import lctvqa.ops.pallas_lstm as PL
+    from lctvqa.models import qst_encoder
+
+    params = qst_encoder.ef_qst_encoder_init(
+        jax.random.PRNGKey(7), qst_vocab_size=30, word_embed_size=8,
+        embed_size=16, num_layers=1, hidden_size=16)
+    q = jax.random.randint(jax.random.PRNGKey(8), (4, 7), 0, 30)
+    img = jax.random.normal(jax.random.PRNGKey(9), (4, 16))
+
+    orig = PL.lstm_seq_pallas
+    called = []
+
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+        called.append(1)
+        return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
+
+    monkeypatch.setattr(PL, "lstm_seq_pallas", forced)
+    f_pal, l_pal = qst_encoder.ef_qst_encoder(params, q, img,
+                                              use_pallas_seq=True)
+    assert called
+    f_ref, l_ref = qst_encoder.ef_qst_encoder(params, q, img)
+    np.testing.assert_allclose(np.asarray(f_pal), np.asarray(f_ref),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_pal), np.asarray(l_ref),
+                               rtol=1e-6, atol=1e-6)
