@@ -80,10 +80,17 @@ def unified_forward(params, arch, cfg: ModelConfig, img, qa_str,
     dt = _dtype(cfg)
     img_feature = _img_encode(params, arch, cfg, img, rng, deterministic)
     b = qa_str.shape[0]
-    h0 = img_feature.reshape(1, b, -1)
     x = jnp.tanh(N.embed(params["qa"]["word2vec"], qa_str))
-    outs, _ = lstm(params["qa"]["lstm"], x, h0=h0, c0=h0, dtype=dt,
-                   use_pallas=cfg.use_pallas_lstm)
+    layers = params["qa"]["lstm"]["layers"]
+    if cfg.pallas_seq_lstm and len(layers) == 1:
+        # whole T-step recurrence as one kernel (ops/pallas_lstm.py)
+        from lctvqa.ops.pallas_lstm import lstm_seq_pallas
+        h0 = img_feature.reshape(b, -1)
+        outs, _ = lstm_seq_pallas(layers[0], x, h0, h0, dtype=dt)
+    else:
+        h0 = img_feature.reshape(1, b, -1)
+        outs, _ = lstm(params["qa"]["lstm"], x, h0=h0, c0=h0, dtype=dt,
+                       use_pallas=cfg.use_pallas_lstm)
     return N.linear(params["qa"]["fc2"], jnp.tanh(outs), dtype=dt)
 
 
@@ -97,7 +104,8 @@ def unified_generate(params, arch, cfg: ModelConfig, img,
     return ef_qst_generate(params["qa"], img_feature, cfg.max_qst_len,
                            rng=rng, deterministic=sample_deterministic,
                            temperature=temperature, dtype=_dtype(cfg),
-                           use_pallas=cfg.use_pallas_lstm)
+                           use_pallas=cfg.use_pallas_lstm,
+                           use_pallas_generate=cfg.pallas_generate)
 
 
 def unified_loss(params, arch, cfg: ModelConfig, img, qa_str,

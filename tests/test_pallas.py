@@ -338,3 +338,38 @@ def test_ef_encoder_pallas_seq_route(monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(l_pal), np.asarray(l_ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_unified_forward_pallas_seq_route(monkeypatch):
+    """unified_forward with pallas_seq_lstm routes through the per-step
+    kernel and matches the scan path."""
+    import dataclasses
+
+    import lctvqa.ops.pallas_lstm as PL
+    from lctvqa.config import small_test_config
+    from lctvqa.models import unified
+
+    base = dataclasses.replace(small_test_config().model,
+                               arch_type="fixed", img_size=32)
+    key = jax.random.PRNGKey(13)
+    params, arch = unified.init_unified_model(key, base)
+    img = jax.random.normal(jax.random.PRNGKey(14), (2, 32, 32, 3))
+    qa = jax.random.randint(jax.random.PRNGKey(15), (2, base.max_qst_len),
+                            0, base.qst_vocab_size)
+
+    orig = PL.lstm_seq_pallas
+    called = []
+
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+        called.append(1)
+        return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
+
+    monkeypatch.setattr(PL, "lstm_seq_pallas", forced)
+    cfg_on = dataclasses.replace(base, pallas_seq_lstm=True,
+                                 compute_dtype="")
+    cfg_off = dataclasses.replace(base, compute_dtype="")
+    out_on = unified.unified_forward(params, arch, cfg_on, img, qa)
+    assert called
+    out_off = unified.unified_forward(params, arch, cfg_off, img, qa)
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               rtol=1e-5, atol=1e-5)
