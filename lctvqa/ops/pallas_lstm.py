@@ -115,6 +115,22 @@ def lstm_cell_pallas(layer_params, x, h, c, dtype=None,
 # Whole-sequence LSTM (final state only) — one kernel for the W encoder
 # --------------------------------------------------------------------------
 
+_VMEM_LIMIT = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024)
+_SEQ_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def seq_eligible(b: int, t: int, emb: int, hid: int, dtype) -> bool:
+    """Working set of the sequence kernels vs the VMEM budget: weights +
+    gates + h/c scratch + x slabs (double-buffered) + per-step out slab."""
+    s_ = jnp.dtype(dtype or jnp.float32).itemsize
+    footprint = ((emb + hid) * 4 * hid * s_    # w_ih + w_hh
+                 + b * 4 * hid * 4             # gates (f32)
+                 + 6 * b * hid * 4             # h/c scratch + outs + temps
+                 + 2 * b * emb * s_)           # streamed x slabs
+    return footprint <= _SEQ_VMEM_BUDGET
+
+
 def _seq_kernel(x_ref, h0_ref, c0_ref, wih_ref, whh_ref, b_ref,
                 h_out_ref, c_out_ref, h_s, c_s):
     """grid=(T,): the TPU grid is sequential and scratch persists across
@@ -172,6 +188,7 @@ def _seq_forward(xs, h0, c0, w_ih, w_hh, b, interpret: bool):
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((bsz, hid), jnp.float32),
                         pltpu.VMEM((bsz, hid), jnp.float32)],
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(xs, h0, c0, w_ih, w_hh, b)
 
@@ -222,15 +239,17 @@ def lstm_seq_final_pallas(layer_params, xs, h0, c0, dtype=None,
 
     xs [B, T, E]; h0/c0 [B, H] or None. Returns (h_n, c_n) each [B, H] f32.
     """
-    if jax.default_backend() != "tpu" and not force_interpret:
+    b, t, emb = xs.shape
+    hid = layer_params["w_hh"].shape[0]
+    if ((jax.default_backend() != "tpu"
+         or not seq_eligible(b, t, emb, hid, dtype))
+            and not force_interpret):
         from lctvqa.ops.lstm import lstm
         _, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
                              h0=None if h0 is None else h0[None],
                              c0=None if c0 is None else c0[None],
                              dtype=dtype)
         return h_n[0], c_n[0]
-    b, _, _ = xs.shape
-    hid = layer_params["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((b, hid), jnp.float32)
     if c0 is None:
@@ -311,6 +330,7 @@ def _seq_all_forward(xs, h0, c0, w_ih, w_hh, b, interpret: bool):
                                 memory_space=pltpu.VMEM)),
         scratch_shapes=[pltpu.VMEM((bsz, hid), jnp.float32),
                         pltpu.VMEM((bsz, hid), jnp.float32)],
+        compiler_params=None if interpret else _VMEM_LIMIT,
         interpret=interpret,
     )(xs, h0, c0, w_ih, w_hh, b)
 
@@ -355,15 +375,17 @@ def lstm_seq_pallas(layer_params, xs, h0, c0, dtype=None,
     xs [B, T, E]; h0/c0 [B, H] or None.
     Returns (outputs [B, T, H] f32, (h_n, c_n) each [B, H] f32).
     """
-    if jax.default_backend() != "tpu" and not force_interpret:
+    b, t, emb = xs.shape
+    hid = layer_params["w_hh"].shape[0]
+    if ((jax.default_backend() != "tpu"
+         or not seq_eligible(b, t, emb, hid, dtype))
+            and not force_interpret):
         from lctvqa.ops.lstm import lstm
         outs, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
                                 h0=None if h0 is None else h0[None],
                                 c0=None if c0 is None else c0[None],
                                 dtype=dtype)
         return outs, (h_n[0], c_n[0])
-    b = xs.shape[0]
-    hid = layer_params["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((b, hid), jnp.float32)
     if c0 is None:
