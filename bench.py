@@ -331,6 +331,24 @@ def _mfu_numbers(infer_pps: float, train_pps: float,
     return out
 
 
+def _tpu_reachable(timeout_s: float = 600.0) -> bool:
+    """jax.devices() normally returns in seconds; when the axon tunnel is
+    down it hangs FOREVER (no relay listener — observed for hours on
+    2026-08-17). Probe it on a daemon thread with a generous timeout so a
+    dead tunnel yields an explicit error JSON instead of a silent hang."""
+    import threading
+    ok = []
+
+    def probe():
+        import jax
+        ok.append(len(jax.devices()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=100)
@@ -338,6 +356,13 @@ def main():
     p.add_argument("--skip_train", action="store_true",
                    help="headline inference number only (fast)")
     args = p.parse_args()
+    if not _tpu_reachable():
+        print(json.dumps({
+            "metric": "vqa_pairs_per_sec_per_chip", "value": 0,
+            "unit": "pairs/s", "vs_baseline": 0,
+            "error": "TPU backend unreachable (axon tunnel down; "
+                     "jax.devices() hung >600s)"}))
+        return
     baseline = _get_baseline()
     value, value_ref_batch, serve_batch = tpu_pairs_per_sec(args.iters)
     result = {
