@@ -68,7 +68,13 @@ def _gen_kernel(h0_ref, x0_ref, wih_ref, whh_ref, b_ref, fc2w_ref,
     c_s[:] = h0_ref[:]
     x_s[:] = x0_ref[:]
 
-    def body(t, carry):
+    # tokens accumulate in a register/VMEM value with a masked update per
+    # step and ONE full store at the end: a dynamic 1-wide store on the
+    # minor (lane) dim at a runtime offset is the kind of access Mosaic
+    # handles worst, and the [B, T] buffer is tiny
+    step_cols = jax.lax.broadcasted_iota(jnp.int32, tok_ref.shape, 1)
+
+    def body(t, acc):
         gates = (jnp.dot(x_s[:].astype(cdt), wih_ref[:],
                          preferred_element_type=jnp.float32)
                  + jnp.dot(h_s[:].astype(cdt), whh_ref[:],
@@ -90,14 +96,15 @@ def _gen_kernel(h0_ref, x0_ref, wih_ref, whh_ref, b_ref, fc2w_ref,
         vio = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         tok = jnp.min(jnp.where(logits == m, vio, vocab), axis=-1,
                       keepdims=True)
-        tok_ref[:, pl.ds(t, 1)] = tok
+        acc = jnp.where(step_cols == t, tok, acc)
         # next input = exact fp32 embedding row via one-hot matmul
         onehot = (vio == tok).astype(jnp.float32)
         x_s[:] = jnp.dot(onehot, emb_ref[:],
                          preferred_element_type=jnp.float32)
-        return carry
+        return acc
 
-    jax.lax.fori_loop(0, steps, body, 0)
+    tok_ref[:] = jax.lax.fori_loop(
+        0, steps, body, jnp.zeros(tok_ref.shape, jnp.int32))
 
 
 def greedy_generate_pallas(qst_params, image_embedding, max_length: int,
