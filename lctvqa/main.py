@@ -64,12 +64,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_mixed_op", action="store_true",
                    help="Pallas whole-edge mixed-op kernel in an HWCN "
                         "trunk (see config.py for measured numbers)")
-    p.add_argument("--pallas_generate", action="store_true",
+    # defaults track ModelConfig so a measured default flip is one line
+    _m = ModelConfig()
+    p.add_argument("--pallas_generate",
+                   action=argparse.BooleanOptionalAction,
+                   default=_m.pallas_generate,
                    help="whole-loop fused Pallas greedy decode "
                         "(ops/pallas_generate.py)")
-    p.add_argument("--pallas_seq_lstm", action="store_true",
-                   help="whole-sequence fused LSTM for the W question "
-                        "encoder (ops/pallas_lstm.py)")
+    p.add_argument("--pallas_seq_lstm",
+                   action=argparse.BooleanOptionalAction,
+                   default=_m.pallas_seq_lstm,
+                   help="whole-sequence fused LSTM for the question "
+                        "encoders (ops/pallas_lstm.py)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--num_devices", type=int, default=0,
                    help="0 = all local devices")

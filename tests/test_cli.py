@@ -78,6 +78,8 @@ def test_cli_defaults_match_config_defaults():
         "packed_dispatch": getattr(args, "packed_dispatch",
                                    t.packed_dispatch),
         "img_size": m.img_size, "compute_dtype": m.compute_dtype,
+        "pallas_generate": m.pallas_generate,
+        "pallas_seq_lstm": m.pallas_seq_lstm,
         "num_workers": d.num_workers, "max_num_ans": d.max_num_ans,
     }
     for name, want in expected.items():
