@@ -22,7 +22,6 @@ from __future__ import annotations
 import logging
 import os
 import sys
-import time
 from itertools import cycle
 
 import jax
@@ -31,7 +30,7 @@ import numpy as np
 
 from lctvqa.config import Config
 from lctvqa.data import pipeline
-from lctvqa.models import search, vgg, vqa_ef, vqa_w
+from lctvqa.models import search, vqa_ef, vqa_w
 from lctvqa.optim.optimizers import set_learning_rate, step_lr
 from lctvqa.parallel import mesh as mesh_lib
 from lctvqa.train import checkpoint, stats

@@ -30,7 +30,7 @@ from lctvqa.optim.architect import make_darts_arch_grad
 from lctvqa.optim.optimizers import (arch_optimizer, model_optimizer,
                                      set_learning_rate, step_lr)
 from lctvqa.parallel import mesh as mesh_lib
-from lctvqa.train import checkpoint, stats
+from lctvqa.train import checkpoint
 from lctvqa.train.metrics import (VqaStruct, calc_bleu_scores,
                                   calc_bleu_scores_unified, mask_unk,
                                   num_correct, unified_ans_acc)
