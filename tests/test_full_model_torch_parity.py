@@ -332,3 +332,30 @@ def test_ef_model_end_to_end_logits_loss_generate(data):
     np.testing.assert_array_equal(_np(got_toks), want_toks.numpy())
     np.testing.assert_allclose(_np(got_gen_ans), want_gen_ans.numpy(),
                                rtol=RTOL, atol=ATOL)
+
+
+def test_ef_generate_pallas_kernel_vs_torch(data, monkeypatch):
+    """The whole-loop fused decode kernel (interpret mode) reproduces the
+    torch argmax chain token-exactly — pins kernel == torch directly, not
+    just via the kernel == scan and scan == torch legs."""
+    import dataclasses
+
+    from lctvqa.ops import pallas_generate as PG
+
+    img, qst, labels = data
+    torch.manual_seed(1)
+    tm = _TorchEfModel().eval()
+    params = _ef_params(tm)
+    cfg = dataclasses.replace(_mcfg(), pallas_generate=True)
+
+    with torch.no_grad():
+        want_toks, want_gen_ans = tm.generate(torch.tensor(img).permute(
+            0, 3, 1, 2), T)
+
+    monkeypatch.setattr(PG, "PALLAS_GEN_INTERPRET", True)
+    got_toks, got_gen_ans = vqa_ef.ef_generate(
+        params, None, cfg, jnp.asarray(img), deterministic=True,
+        sample_deterministic=True)
+    np.testing.assert_array_equal(_np(got_toks), want_toks.numpy())
+    np.testing.assert_allclose(_np(got_gen_ans), want_gen_ans.numpy(),
+                               rtol=RTOL, atol=ATOL)
