@@ -43,7 +43,8 @@ def w_qst_encoder(params, question, dtype=None, use_pallas=False,
         # persistent h/c scratch); differentiable via its jnp-scan JVP rule
         from lctvqa.ops.pallas_lstm import lstm_seq_final_pallas
         h_n, c_n = lstm_seq_final_pallas(layers[0], x, None, None,
-                                         dtype=dtype)
+                                         dtype=dtype,
+                                         use_pallas_fallback=use_pallas)
         feat = jnp.concatenate([h_n, c_n], axis=1)
     else:
         _, (h_n, c_n) = lstm(params["lstm"], x, dtype=dtype,
@@ -83,7 +84,8 @@ def ef_qst_encoder(params, question, image_embedding, dtype=None,
         from lctvqa.ops.pallas_lstm import lstm_seq_pallas
         h0 = image_embedding.reshape(b, -1)
         outs, (h_n, c_n) = lstm_seq_pallas(layers[0], x, h0, h0,
-                                           dtype=dtype)
+                                           dtype=dtype,
+                                           use_pallas_fallback=use_pallas)
         feat = jnp.concatenate([h_n, c_n], axis=1)
     else:
         h0 = image_embedding.reshape(1, b, -1)

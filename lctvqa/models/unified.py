@@ -86,7 +86,8 @@ def unified_forward(params, arch, cfg: ModelConfig, img, qa_str,
         # whole T-step recurrence as one kernel (ops/pallas_lstm.py)
         from lctvqa.ops.pallas_lstm import lstm_seq_pallas
         h0 = img_feature.reshape(b, -1)
-        outs, _ = lstm_seq_pallas(layers[0], x, h0, h0, dtype=dt)
+        outs, _ = lstm_seq_pallas(layers[0], x, h0, h0, dtype=dt,
+                                  use_pallas_fallback=cfg.use_pallas_lstm)
     else:
         h0 = img_feature.reshape(1, b, -1)
         outs, _ = lstm(params["qa"]["lstm"], x, h0=h0, c0=h0, dtype=dt,

@@ -232,7 +232,8 @@ def _fused_seq_jvp(interpret, primals, tangents):
 
 
 def lstm_seq_final_pallas(layer_params, xs, h0, c0, dtype=None,
-                          force_interpret: bool = False):
+                          force_interpret: bool = False,
+                          use_pallas_fallback: bool = False):
     """Whole-sequence LSTM returning ONLY the final (h, c) — the W-model
     question encoder discards per-step outputs (`basic_vqa/models.py:56-62`
     uses just (h_n, c_n)), so the 30-step scan collapses to one kernel.
@@ -248,7 +249,7 @@ def lstm_seq_final_pallas(layer_params, xs, h0, c0, dtype=None,
         _, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
                              h0=None if h0 is None else h0[None],
                              c0=None if c0 is None else c0[None],
-                             dtype=dtype)
+                             dtype=dtype, use_pallas=use_pallas_fallback)
         return h_n[0], c_n[0]
     if h0 is None:
         h0 = jnp.zeros((b, hid), jnp.float32)
@@ -369,7 +370,8 @@ def _fused_seq_all_jvp(interpret, primals, tangents):
 
 
 def lstm_seq_pallas(layer_params, xs, h0, c0, dtype=None,
-                    force_interpret: bool = False):
+                    force_interpret: bool = False,
+                    use_pallas_fallback: bool = False):
     """Whole-sequence LSTM with per-step outputs as one kernel.
 
     xs [B, T, E]; h0/c0 [B, H] or None.
@@ -384,7 +386,7 @@ def lstm_seq_pallas(layer_params, xs, h0, c0, dtype=None,
         outs, (h_n, c_n) = lstm({"layers": [layer_params]}, xs,
                                 h0=None if h0 is None else h0[None],
                                 c0=None if c0 is None else c0[None],
-                                dtype=dtype)
+                                dtype=dtype, use_pallas=use_pallas_fallback)
         return outs, (h_n[0], c_n[0])
     if h0 is None:
         h0 = jnp.zeros((b, hid), jnp.float32)

@@ -252,7 +252,8 @@ def test_w_encoder_pallas_seq_route(monkeypatch):
     orig = PL.lstm_seq_final_pallas
     called = []
 
-    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False,
+               **kw):
         called.append(1)
         return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
 
@@ -325,7 +326,8 @@ def test_ef_encoder_pallas_seq_route(monkeypatch):
     orig = PL.lstm_seq_pallas
     called = []
 
-    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False,
+               **kw):
         called.append(1)
         return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
 
@@ -360,7 +362,8 @@ def test_unified_forward_pallas_seq_route(monkeypatch):
     orig = PL.lstm_seq_pallas
     called = []
 
-    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False):
+    def forced(lp, xs, h0, c0, dtype=None, force_interpret=False,
+               **kw):
         called.append(1)
         return orig(lp, xs, h0, c0, dtype=dtype, force_interpret=True)
 
