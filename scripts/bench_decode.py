@@ -50,22 +50,27 @@ def main():
         B, H).astype(np.float32))
     bf16 = jnp.bfloat16
 
-    scan_gen = jax.jit(lambda p, e: qst_encoder.ef_qst_generate(
-        p, e, T, deterministic=True, dtype=bf16, use_pallas=True))
-    fused_gen = jax.jit(lambda p, e: qst_encoder.ef_qst_generate(
-        p, e, T, deterministic=True, dtype=bf16,
-        use_pallas_generate=True))
-    read_tok = lambda o: int(np.asarray(o[0, T - 1]))
-    ms_scan = timed(scan_gen, qp, img_emb, read=read_tok)
-    ms_fused = timed(fused_gen, qp, img_emb, read=read_tok)
-    results["generate_scan_ms"] = round(ms_scan, 3)
-    results["generate_fused_ms"] = round(ms_fused, 3)
-    results["generate_tokens_per_sec_scan"] = round(B * T / ms_scan * 1e3)
-    results["generate_tokens_per_sec_fused"] = round(B * T / ms_fused * 1e3)
-    # token parity on-chip
-    t_scan = np.asarray(scan_gen(qp, img_emb))
-    t_fused = np.asarray(fused_gen(qp, img_emb))
-    results["generate_token_match"] = float((t_scan == t_fused).mean())
+    try:
+        scan_gen = jax.jit(lambda p, e: qst_encoder.ef_qst_generate(
+            p, e, T, deterministic=True, dtype=bf16, use_pallas=True))
+        fused_gen = jax.jit(lambda p, e: qst_encoder.ef_qst_generate(
+            p, e, T, deterministic=True, dtype=bf16,
+            use_pallas_generate=True))
+        read_tok = lambda o: int(np.asarray(o[0, T - 1]))
+        ms_scan = timed(scan_gen, qp, img_emb, read=read_tok)
+        ms_fused = timed(fused_gen, qp, img_emb, read=read_tok)
+        results["generate_scan_ms"] = round(ms_scan, 3)
+        results["generate_fused_ms"] = round(ms_fused, 3)
+        results["generate_tokens_per_sec_scan"] = round(
+            B * T / ms_scan * 1e3)
+        results["generate_tokens_per_sec_fused"] = round(
+            B * T / ms_fused * 1e3)
+        # token parity on-chip
+        t_scan = np.asarray(scan_gen(qp, img_emb))
+        t_fused = np.asarray(fused_gen(qp, img_emb))
+        results["generate_token_match"] = float((t_scan == t_fused).mean())
+    except Exception as e:  # noqa: BLE001 — don't lose later sections
+        results["generate_error"] = repr(e)[:300]
     print(json.dumps(results), flush=True)
 
     # ---- 2. W forward ------------------------------------------------
@@ -87,9 +92,15 @@ def main():
                 return vqa_w.w_forward(p, cfg, normalize_images(u8), qst,
                                        deterministic=True)
 
-            ms = timed(step, params, u8, qst,
-                       iters=50 if batch == B else 20)
             key = f"w_fwd_b{batch}_{'seqkernel' if seq else 'scan'}"
+            try:
+                ms = timed(step, params, u8, qst,
+                           iters=50 if batch == B else 20)
+            except Exception as e:  # noqa: BLE001
+                results[key + "_error"] = repr(e)[:300]
+                print(json.dumps({key + "_error":
+                                  results[key + "_error"]}), flush=True)
+                continue
             results[key + "_ms"] = round(ms, 3)
             results[key + "_pairs_per_sec"] = round(batch / ms * 1e3)
             print(json.dumps({key + "_ms": results[key + "_ms"],
@@ -138,14 +149,22 @@ def main():
             return ef_p, ef_o, w_p, w_o, l2
 
         keys = [jax.random.PRNGKey(10 + i) for i in range(20)]
-        s = one(ef_params, ef_opt, w_params, w_opt, keys[0])
-        float(s[4])  # compile + warm
-        ef_p, ef_o, w_p, w_o = ef_params, ef_opt, w_params, w_opt
-        K = 16
-        t0 = time.perf_counter()
-        for i in range(K):
-            ef_p, ef_o, w_p, w_o, l2 = one(ef_p, ef_o, w_p, w_o, keys[i])
-        float(l2)  # bounds the whole chain
+        try:
+            s = one(ef_params, ef_opt, w_params, w_opt, keys[0])
+            float(s[4])  # compile + warm
+            ef_p, ef_o, w_p, w_o = ef_params, ef_opt, w_params, w_opt
+            K = 16
+            t0 = time.perf_counter()
+            for i in range(K):
+                ef_p, ef_o, w_p, w_o, l2 = one(ef_p, ef_o, w_p, w_o,
+                                               keys[i])
+            float(l2)  # bounds the whole chain
+        except Exception as e:  # noqa: BLE001
+            results[f"train_step_{tag}_error"] = repr(e)[:300]
+            print(json.dumps({f"train_step_{tag}_error":
+                              results[f"train_step_{tag}_error"]}),
+                  flush=True)
+            continue
         ms = (time.perf_counter() - t0) / K * 1e3
         results[f"train_step_{tag}_ms"] = round(ms, 2)
         results[f"train_step_{tag}_pairs_per_sec"] = round(B / ms * 1e3)
