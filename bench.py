@@ -168,6 +168,53 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
     return best[1024], best[BATCH], 1024
 
 
+def int8_pairs_per_sec(iters: int = 30, batch: int = 1024) -> dict:
+    """Opt-in int8 serving path (lctvqa/quant.py): throughput at the
+    serving batch + argmax answer agreement vs the bf16 forward. v5e
+    executes int8 matmuls at 2x the bf16 MXU rate, so this is the
+    serving headroom beyond the parity path; reported alongside, never
+    AS, the headline (the headline stays the parity-path number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lctvqa import quant
+    from lctvqa.config import ModelConfig
+    from lctvqa.data.pipeline import normalize_images
+    from lctvqa.models import vqa_w
+
+    cfg = ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                      ans_vocab_size=AVOCAB, arch_type="fixed",
+                      compute_dtype="bfloat16")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_w_model(params)
+
+    @jax.jit
+    def step_int8(qp, u8, qst):
+        img = normalize_images(u8)
+        return quant.w_forward_int8(qp, cfg, img, qst)
+
+    @jax.jit
+    def step_ref(p, u8, qst):
+        img = normalize_images(u8)
+        return vqa_w.w_forward(p, cfg, img, qst, deterministic=True)
+
+    rng = np.random.RandomState(0)
+    u8 = jnp.asarray(rng.randint(0, 256, (batch, IMG, IMG, 3),
+                                 dtype=np.uint8))
+    qst = jnp.asarray(rng.randint(0, QVOCAB, (batch, QLEN)).astype(np.int32))
+    agree = float(jnp.mean(jnp.argmax(step_int8(qparams, u8, qst), 1)
+                           == jnp.argmax(step_ref(params, u8, qst), 1)))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = step_int8(qparams, u8, qst)
+    float(out[0, 0])
+    dt = time.perf_counter() - t0
+    return {"int8_pairs_per_sec": round(batch * iters / dt, 2),
+            "int8_batch": batch,
+            "int8_answer_agreement": round(agree, 4)}
+
+
 def train_pairs_per_sec(iters: int = 30) -> dict:
     """Secondary metrics: full LCT training step (stage1+stage2) and the
     30-step generate loop, at reference dims."""
@@ -373,6 +420,12 @@ def main():
         "infer_batch": serve_batch,
         "infer_pairs_per_sec_batch64": round(value_ref_batch, 2),
     }
+    try:
+        result.update(int8_pairs_per_sec(max(10, args.iters // 4)))
+    except Exception as e:  # noqa: BLE001 — int8 is reported-alongside,
+        # never allowed to cost the headline
+        print(f"# int8 section failed: {e!r}", flush=True)
+        result["int8_error"] = str(e)[:200]
     if not args.skip_train:
         try:
             details = train_pairs_per_sec(args.train_iters)
