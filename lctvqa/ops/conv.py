@@ -32,6 +32,41 @@ def torch_conv_init(key, kh, kw, c_in, c_out, groups: int = 1, bias: bool = Fals
     return p
 
 
+_Q_EPS = 1e-12
+
+
+def quantize_weight(w, out_axis: int):
+    """fp32 weight -> (int8 weight, fp32 per-output-channel scale).
+
+    Symmetric per-output-channel int8: each output channel's abs-max maps
+    to +/-127, so the dequantized grid covers the channel exactly."""
+    axes = tuple(i for i in range(w.ndim) if i != out_axis)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _Q_EPS) / 127.0
+    shape = [1] * w.ndim
+    shape[out_axis] = -1
+    q = jnp.clip(jnp.round(w / s.reshape(shape)), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def quantize_act(x):
+    """fp activation -> (int8 activation, scalar fp32 scale), dynamic
+    abs-max — computed on device per call, no calibration set."""
+    x = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(x)), _Q_EPS) / 127.0
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_conv_params(p):
+    """{"w"[, "b"]} conv params -> {"w_q", "w_s"[, "b"]} (HWIO, out axis 3).
+    `conv2d` dispatches on the "w_q" key (serving-only: no derivative)."""
+    wq, ws = quantize_weight(p["w"], out_axis=3)
+    out = {"w_q": wq, "w_s": ws}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
 def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
            dtype=None, out_dtype=None):
     """NHWC conv. `padding` is symmetric int or ((ph0,ph1),(pw0,pw1)).
@@ -40,17 +75,33 @@ def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
     bandwidth-bound search-net ops pass out_dtype=compute dtype so conv
     chains never round-trip activations through fp32 HBM writes; the MXU
     still accumulates in fp32 internally either way.
+
+    Quantized params (`quantize_conv_params`) dispatch to the int8 serving
+    path: dynamic per-tensor int8 activations x per-channel int8 weights ->
+    int32 MXU accumulation -> fp32 dequant + bias. `dtype` is ignored there
+    (the operand dtype IS int8); no derivative is defined.
     """
-    w = params["w"]
-    if dtype is not None:
-        x = x.astype(dtype)
-        w = w.astype(dtype)
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    if "w_q" in params:
+        xq, sx = quantize_act(x)
+        y = jax.lax.conv_general_dilated(
+            xq, params["w_q"], window_strides=stride, padding=padding,
+            rhs_dilation=dilation, dimension_numbers=DIMNUMS,
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * (sx * params["w_s"])
+        if "b" in params:
+            y = y + params["b"]
+        return y.astype(jnp.float32 if out_dtype is None else out_dtype)
+    w = params["w"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        w = w.astype(dtype)
     # No preferred_element_type upcast: this JAX version's conv transpose
     # rule rejects mixed (bf16 operand, f32 cotangent).
     y = jax.lax.conv_general_dilated(

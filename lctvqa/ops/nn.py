@@ -46,7 +46,23 @@ def embedding_init(key, vocab_size: int, embed_dim: int):
                                        jnp.float32)}
 
 
+def quantize_linear_params(p):
+    """{"w", "b"} -> {"w_q", "w_s", "b"} ([in, out], out axis 1); `linear`
+    dispatches on the "w_q" key (serving-only int8 path, no derivative)."""
+    from lctvqa.ops import conv as C
+    wq, ws = C.quantize_weight(p["w"], out_axis=1)
+    return {"w_q": wq, "w_s": ws, "b": p["b"]}
+
+
 def linear(params, x, dtype=None):
+    if "w_q" in params:
+        # int8 serving path: dynamic act scale, int32 MXU accumulation
+        from lctvqa.ops import conv as C
+        xq, sx = C.quantize_act(x)
+        y = jax.lax.dot_general(
+            xq, params["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (sx * params["w_s"]) + params["b"]
     w, b = params["w"], params["b"]
     if dtype is not None:
         x = x.astype(dtype)

@@ -1,25 +1,37 @@
-"""Post-training int8 quantization for the W-model serving path.
+"""Post-training int8 quantization for the serving paths.
 
-TPU v5e executes int8 x int8 -> int32 on the MXU at twice the bf16
-rate (394 vs 197 TOPS), so the dense compute of the serving path — the
-VGG19 trunk convs plus the classifier/fusion linears, >95% of forward
-FLOPs — can run int8 where the bf16 path is MXU-bound. Scheme:
+TPU v5e executes int8 x int8 -> int32 on the MXU at twice the bf16 rate
+(394 vs 197 TOPS), so the dense compute of a serving forward — conv
+trunks (VGG19 or a derived/searched cell stack) plus the classifier and
+fusion linears, >95% of forward FLOPs — can run int8 where the bf16
+path is MXU-bound. Scheme:
 
   - weights: symmetric per-output-channel int8, scales computed once at
-    quantization time (static);
+    quantization time (static; `ops/conv.quantize_weight`);
   - activations: symmetric per-tensor int8 with a dynamic abs-max scale
     computed on device per batch (no calibration set needed; the
     quantize/dequantize elementwise work fuses into neighboring HBM
     passes);
-  - accumulation: int32 on the MXU; dequantize + bias + ReLU in fp32.
+  - accumulation: int32 on the MXU; dequantize + bias in fp32.
 
-The LSTM question encoder and the embedding stay in bf16 — they carry a
-negligible FLOP share and quantizing recurrent state compounds error.
+Quantization is DISPATCH-based: `quantize_model` rewrites every eligible
+conv/linear param dict {"w"[, "b"]} into {"w_q", "w_s"[, "b"]}, and the
+shared primitives `ops/conv.conv2d` / `ops/nn.linear` route on the
+"w_q" key — so the UNMODIFIED model forwards (vqa_w.w_forward,
+vqa_ef.ef_forward / ef_generate over vgg, derived, or fixed encoders)
+execute int8 when handed a quantized tree. Not quantized:
 
-This is an opt-in serving mode (``--int8`` on eval/bench paths), NOT a
-parity path: logits shift by quantization error. Answer agreement vs
-the fp32 forward is pinned in tests/test_quant.py and reported by
-bench.py alongside the int8 throughput.
+  - the LSTM question encoder/decoder and embeddings ("qst" subtree):
+    negligible FLOP share, and quantizing recurrent state compounds
+    error across steps;
+  - depthwise convs (kernel [k, k, 1, C], sep/dil ops of derived cells):
+    bandwidth-bound, no MXU win to buy back the quantize overhead;
+  - BN layers: fp32 statistics exactly as the fp path.
+
+This is an opt-in serving mode, NOT a parity path: logits shift by
+quantization error. Answer agreement vs the fp32 forward is pinned in
+tests/test_quant.py (100% at real dims, 0.36% relative logit error) and
+reported by bench.py alongside the int8 throughput.
 
 The torch reference serves fp32 only (`basic_vqa/models.py`); this
 module is TPU-native capability beyond parity.
@@ -27,112 +39,86 @@ module is TPU-native capability beyond parity.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
 from lctvqa.config import ModelConfig
-from lctvqa.models import vgg
-from lctvqa.models.qst_encoder import w_qst_encoder
+from lctvqa.models import vqa_ef, vqa_w
 from lctvqa.ops import conv as C
 from lctvqa.ops import nn as N
 
-_EPS = 1e-12
-
-
-def quantize_weight(w, out_axis: int):
-    """fp32 weight -> (int8 weight, fp32 per-output-channel scale)."""
-    axes = tuple(i for i in range(w.ndim) if i != out_axis)
-    s = jnp.maximum(jnp.max(jnp.abs(w), axis=axes), _EPS) / 127.0
-    shape = [1] * w.ndim
-    shape[out_axis] = -1
-    q = jnp.clip(jnp.round(w / s.reshape(shape)), -127, 127).astype(jnp.int8)
-    return q, s.astype(jnp.float32)
-
-
-def quantize_act(x):
-    """fp32 activation -> (int8 activation, scalar fp32 scale), dynamic."""
-    s = jnp.maximum(jnp.max(jnp.abs(x)), _EPS) / 127.0
-    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-def _q_conv_params(p):
-    wq, ws = quantize_weight(p["w"], out_axis=3)  # HWIO
-    out = {"w_q": wq, "w_s": ws}
-    if "b" in p:
-        out["b"] = p["b"]
-    return out
-
-
-def _q_linear_params(p):
-    wq, ws = quantize_weight(p["w"], out_axis=1)  # [in, out]
-    return {"w_q": wq, "w_s": ws, "b": p["b"]}
+# re-exported primitives (implementation lives beside the fp32 siblings)
+quantize_weight = C.quantize_weight
+quantize_act = C.quantize_act
+_q_conv_params = C.quantize_conv_params
+_q_linear_params = N.quantize_linear_params
 
 
 def conv2d_int8(qp, x, stride: int = 1, padding: int = 0):
     """NHWC conv with int8 operands and int32 MXU accumulation."""
-    xq, sx = quantize_act(x)
-    y = jax.lax.conv_general_dilated(
-        xq, qp["w_q"], window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        dimension_numbers=C.DIMNUMS, preferred_element_type=jnp.int32)
-    y = y.astype(jnp.float32) * (sx * qp["w_s"])
-    if "b" in qp:
-        y = y + qp["b"]
-    return y
+    return C.conv2d(qp, x, stride=stride, padding=padding)
 
 
 def linear_int8(qp, x):
-    xq, sx = quantize_act(x)
-    y = jax.lax.dot_general(xq, qp["w_q"], (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-    return y.astype(jnp.float32) * (sx * qp["w_s"]) + qp["b"]
+    return N.linear(qp, x)
 
 
-def quantize_w_model(params) -> dict:
-    """W-model fp32 pytree -> int8 serving pytree (weights quantized once).
+def _quantize_tree(t):
+    """Recursively rewrite eligible conv/linear param dicts to int8 form.
 
-    Quantizes every VGG conv, fc6/fc7, img_fc, fc1, fc2; the question
-    encoder subtree is kept as-is (bf16 compute at serving time).
+    Eligible: conv {"w" HWIO with >1 input channel per group} and linear
+    {"w" [in, out], "b"}. Depthwise convs ([k, k, 1, C]) and every non-
+    {w[,b]} dict (BN, LSTM, embedding) pass through untouched.
     """
-    return {
-        "vgg": {
-            "features": [_q_conv_params(p) for p in params["vgg"]["features"]],
-            "fc6": _q_linear_params(params["vgg"]["fc6"]),
-            "fc7": _q_linear_params(params["vgg"]["fc7"]),
-        },
-        "img_fc": _q_linear_params(params["img_fc"]),
-        "fc1": _q_linear_params(params["fc1"]),
-        "fc2": _q_linear_params(params["fc2"]),
-        "qst": params["qst"],
-    }
+    if isinstance(t, dict):
+        w = t.get("w")
+        if w is not None and hasattr(w, "ndim"):
+            if w.ndim == 4 and w.shape[2] > 1:
+                return C.quantize_conv_params(t)
+            if w.ndim == 2 and "b" in t:
+                return N.quantize_linear_params(t)
+            return t  # depthwise conv: stays on the fp path
+        return {k: _quantize_tree(v) for k, v in t.items()}
+    if isinstance(t, list):
+        return [_quantize_tree(v) for v in t]
+    if isinstance(t, tuple):
+        return tuple(_quantize_tree(v) for v in t)
+    return t
 
 
-def _vgg19_features_int8(qvgg, x):
-    """Mirror of vgg.vgg19_features (deterministic) with int8 convs."""
-    conv_i = 0
-    for v in vgg.VGG19_CFG:
-        if v == "M":
-            x = C.max_pool(x, 2, 2)
-        else:
-            x = conv2d_int8(qvgg["features"][conv_i], x, stride=1, padding=1)
-            x = jnp.maximum(x, 0.0)
-            conv_i += 1
-    x = C.adaptive_avg_pool(x, 7)
-    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)
-    x = jnp.maximum(linear_int8(qvgg["fc6"], x), 0.0)
-    return jnp.maximum(linear_int8(qvgg["fc7"], x), 0.0)
+def quantize_model(params) -> dict:
+    """Model fp32 pytree -> int8 serving pytree (weights quantized once).
+
+    Works for the W model and the EF model with a 'fixed' (VGG19) or
+    'derived' (retrained genotype) image encoder. The 'qst' subtree is
+    kept as-is (bf16/fp32 compute at serving time). The 'darts' SUPERNET
+    is refused: its BN-folded mixture paths read raw "w" tensors (the
+    supernet is a search artifact, not a serving model — decode the
+    genotype and serve the derived net instead).
+    """
+    assert "darts" not in params, \
+        "quantize the derived/fixed serving model, not the search supernet"
+    return {k: (v if k == "qst" else _quantize_tree(v))
+            for k, v in params.items()}
+
+
+# Back-compat name used by bench.py / tests for the W model specifically.
+quantize_w_model = quantize_model
 
 
 def w_forward_int8(qparams, cfg: ModelConfig, img, qst):
-    """Deterministic serving forward, logits [B, A]. Mirrors
-    models/vqa_w.w_forward (dropout inactive) with int8 dense compute."""
-    feat = _vgg19_features_int8(qparams["vgg"], img)
-    img_feature = N.l2_normalize(linear_int8(qparams["img_fc"], feat))
-    dt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
-    qst_feature = w_qst_encoder(qparams["qst"], qst, dtype=dt,
-                                use_pallas=cfg.use_pallas_lstm,
-                                use_pallas_seq=cfg.pallas_seq_lstm)
-    x = jnp.tanh(img_feature * qst_feature.astype(jnp.float32))
-    x = jnp.tanh(linear_int8(qparams["fc1"], x))
-    return linear_int8(qparams["fc2"], x)
+    """Deterministic serving forward, logits [B, A]. The ordinary
+    vqa_w.w_forward over a quantized tree: conv2d/linear dispatch on the
+    int8 params (dropout inactive; mirrors `basic_vqa/models.py:91-104`)."""
+    return vqa_w.w_forward(qparams, cfg, img, qst, deterministic=True)
+
+
+def ef_forward_int8(qparams, arch, cfg: ModelConfig, img, qst):
+    """Deterministic EF serving forward -> (ans_logits, qst_logits)
+    (models_lct.py:200-218) with the image encoder + heads in int8."""
+    return vqa_ef.ef_forward(qparams, arch, cfg, img, qst,
+                             deterministic=True)
+
+
+def ef_generate_int8(qparams, arch, cfg: ModelConfig, img):
+    """Greedy question generation + answering (models_lct.py:220-241)
+    over the int8 trunk; the 30-step LSTM decode stays on the fp path."""
+    return vqa_ef.ef_generate(qparams, arch, cfg, img,
+                              deterministic=True, sample_deterministic=True)

@@ -112,3 +112,50 @@ def test_w_forward_int8_jits(w_setup):
     f = jax.jit(lambda qp, i, q: quant.w_forward_int8(qp, cfg, i, q))
     out = f(qparams, img, qst)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ef_derived_int8_agreement(tiny_cfg):
+    """The derived (retrained-genotype) EF net serves int8 through the
+    same dispatch — the search -> retrain -> serve loop's last leg."""
+    import dataclasses
+
+    from lctvqa.models import vqa_ef
+    from lctvqa.models.genotypes import PC_DARTS_cifar
+
+    cfg = dataclasses.replace(tiny_cfg.model, arch_type="derived",
+                              genotype=PC_DARTS_cifar, darts_layers=3)
+    params, arch = vqa_ef.init_ef_model(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(4)
+    img = jnp.asarray(rng.rand(8, cfg.img_size, cfg.img_size, 3)
+                      .astype(np.float32))
+    qst = jnp.asarray(rng.randint(0, cfg.qst_vocab_size, (8, cfg.max_qst_len))
+                      .astype(np.int32))
+    ref_ans, ref_qst = vqa_ef.ef_forward(params, arch, cfg, img, qst,
+                                         deterministic=True)
+    qparams = quant.quantize_model(params)
+    got_ans, got_qst = jax.jit(
+        lambda qp, i, q: quant.ef_forward_int8(qp, arch, cfg, i, q)
+    )(qparams, img, qst)
+    rel = float(jnp.linalg.norm(got_ans - ref_ans)
+                / jnp.linalg.norm(ref_ans))
+    assert rel < 0.25, rel
+    agree = float(jnp.mean(jnp.argmax(got_ans, 1) == jnp.argmax(ref_ans, 1)))
+    assert agree >= 0.75, agree
+    # depthwise convs of the derived cells stay fp ("w" key survives)
+    cell0 = qparams["derived"]["cells"][0]
+    dw = [op["dw1"] for op in cell0["ops"] if "dw1" in op]
+    assert dw and all("w" in p and "w_q" not in p for p in dw)
+    # pointwise convs are quantized
+    pw = [op["pw1"] for op in cell0["ops"] if "pw1" in op]
+    assert pw and all("w_q" in p for p in pw)
+    # generate runs over the int8 trunk (tokens from the fp decode path)
+    gen_q, gen_a = quant.ef_generate_int8(qparams, arch, cfg, img)
+    assert gen_q.shape == (8, cfg.max_qst_len)
+    assert np.isfinite(np.asarray(gen_a)).all()
+
+
+def test_quantize_model_refuses_supernet(tiny_cfg):
+    from lctvqa.models import vqa_ef
+    params, _ = vqa_ef.init_ef_model(jax.random.PRNGKey(0), tiny_cfg.model)
+    with pytest.raises(AssertionError):
+        quant.quantize_model(params)
