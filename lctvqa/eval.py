@@ -26,6 +26,10 @@ def main(argv=None):
     p.add_argument("--arch_type", type=str, default="darts")
     p.add_argument("--img_size", type=int, default=64)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the checkpoint int8-quantized (lctvqa/quant"
+                        ".py; fixed/derived encoders only — decode a "
+                        "searched supernet to a genotype first)")
     args = p.parse_args(argv)
 
     import jax
@@ -57,6 +61,16 @@ def main(argv=None):
                            ans_vocab_size=av.vocab_size,
                            compute_dtype=args.compute_dtype)
     print(f"loaded epoch {state['epoch']} from {exp_dir}")
+    if args.int8:
+        # One tree rewrite; every forward below dispatches int8 on the
+        # quantized conv/linear params (see lctvqa/quant.py).
+        from lctvqa import quant
+        if mcfg.arch_type == "darts":
+            raise SystemExit("--int8 cannot serve the darts supernet; "
+                             "retrain with --arch_type derived first "
+                             "(python -m lctvqa.genotype <ckpt>)")
+        ef_params = quant.quantize_model(ef_params)
+        print("serving int8 (weights quantized; LSTM/depthwise stay fp)")
     if arch is not None:
         print("genotype:", search.genotype(arch, mcfg.darts_steps,
                                            mcfg.darts_multiplier))

@@ -55,6 +55,18 @@ def test_cli_derived(synth32, tmp_path, monkeypatch):
          "--arch_type", "derived", "--genotype", "PC_DARTS_cifar")
 
 
+def test_cli_eval_int8(synth32, tmp_path, monkeypatch):
+    """LCT train with a derived encoder, then serve the checkpoint int8
+    from the eval CLI (quantize_model dispatch; lctvqa/quant.py)."""
+    monkeypatch.chdir(tmp_path)
+    _run(synth32, tmp_path, "--exp", "cli_int8", "--skip_stage3",
+         "--arch_type", "derived", "--genotype", "PC_DARTS_cifar")
+    import lctvqa.eval as ev
+    ev.main(["--exp", "cli_int8", "--input_dir", synth32,
+             "--root_stats_dir", str(tmp_path / "experiment_data"),
+             "--batch_size", "8", "--num_batches", "1", "--int8"])
+
+
 def test_cli_defaults_match_config_defaults():
     """argparse defaults must not drift from the Config dataclass
     defaults (caught live in round 3: --architect_mode kept 'exact'
