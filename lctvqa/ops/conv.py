@@ -48,11 +48,21 @@ def quantize_weight(w, out_axis: int):
     return q, s.astype(jnp.float32)
 
 
-def quantize_act(x):
-    """fp activation -> (int8 activation, scalar fp32 scale), dynamic
-    abs-max — computed on device per call, no calibration set."""
+def quantize_act(x, per_sample: bool = False):
+    """fp activation -> (int8 activation, fp32 scale), dynamic abs-max —
+    computed on device per call, no calibration set.
+
+    per_sample=True keeps one scale per leading-axis sample (shape
+    [N, 1, ...]) instead of one per tensor, so a single outlier sample in
+    a large serving batch cannot flatten everyone else's grid. The
+    int8 dispatch paths use it; the extra cost is a per-sample reduce."""
     x = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(x)), _Q_EPS) / 127.0
+    if per_sample:
+        axes = tuple(range(1, x.ndim))
+        s = jnp.maximum(jnp.max(jnp.abs(x), axis=axes, keepdims=True),
+                        _Q_EPS) / 127.0
+    else:
+        s = jnp.maximum(jnp.max(jnp.abs(x)), _Q_EPS) / 127.0
     q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
     return q, s
 
@@ -88,7 +98,7 @@ def conv2d(params, x, stride=1, padding=0, dilation=1, groups: int = 1,
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     if "w_q" in params:
-        xq, sx = quantize_act(x)
+        xq, sx = quantize_act(x, per_sample=True)
         y = jax.lax.conv_general_dilated(
             xq, params["w_q"], window_strides=stride, padding=padding,
             rhs_dilation=dilation, dimension_numbers=DIMNUMS,

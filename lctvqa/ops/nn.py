@@ -58,7 +58,7 @@ def linear(params, x, dtype=None):
     if "w_q" in params:
         # int8 serving path: dynamic act scale, int32 MXU accumulation
         from lctvqa.ops import conv as C
-        xq, sx = C.quantize_act(x)
+        xq, sx = C.quantize_act(x, per_sample=True)
         y = jax.lax.dot_general(
             xq, params["w_q"], (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)

@@ -44,6 +44,22 @@ def test_quantize_act_bounds_and_scale():
     assert err.max() <= float(s) / 2 + 1e-7
 
 
+def test_quantize_act_per_sample_outlier_isolation():
+    # One 1000x outlier sample must not flatten the other samples' grid.
+    rng = np.random.RandomState(5)
+    x = rng.randn(8, 6, 6, 4).astype(np.float32)
+    x[0] *= 1000.0
+    xq, s = quant.quantize_act(jnp.asarray(x), per_sample=True)
+    assert s.shape == (8, 1, 1, 1)
+    deq = np.asarray(xq, np.float32) * np.asarray(s)
+    for i in range(8):
+        err = np.abs(deq[i] - x[i]).max()
+        assert err <= float(s[i, 0, 0, 0]) / 2 + 1e-6
+    # per-tensor on the same input: non-outlier rows lose the grid entirely
+    _, s_t = quant.quantize_act(jnp.asarray(x))
+    assert float(s_t) > 100 * float(s[1, 0, 0, 0])
+
+
 def test_conv_linear_int8_close_to_fp32():
     rng = np.random.RandomState(2)
     p = {"w": jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1),
