@@ -86,16 +86,17 @@ def _quantize_tree(t):
 def quantize_model(params) -> dict:
     """Model fp32 pytree -> int8 serving pytree (weights quantized once).
 
-    Works for the W model and the EF model with a 'fixed' (VGG19) or
-    'derived' (retrained genotype) image encoder. The 'qst' subtree is
-    kept as-is (bf16/fp32 compute at serving time). The 'darts' SUPERNET
-    is refused: its BN-folded mixture paths read raw "w" tensors (the
-    supernet is a search artifact, not a serving model — decode the
-    genotype and serve the derived net instead).
+    Works for the W model, the EF model, and the unified model with a
+    'fixed' (VGG19) or 'derived' (retrained genotype) image encoder. The
+    recurrent subtrees ('qst' of W/EF, 'qa' of unified) are kept as-is
+    (bf16/fp32 compute at serving time). The 'darts' SUPERNET is refused:
+    its BN-folded mixture paths read raw "w" tensors (the supernet is a
+    search artifact, not a serving model — decode the genotype and serve
+    the derived net instead).
     """
     assert "darts" not in params, \
         "quantize the derived/fixed serving model, not the search supernet"
-    return {k: (v if k == "qst" else _quantize_tree(v))
+    return {k: (v if k in ("qst", "qa") else _quantize_tree(v))
             for k, v in params.items()}
 
 

@@ -175,3 +175,27 @@ def test_quantize_model_refuses_supernet(tiny_cfg):
     params, _ = vqa_ef.init_ef_model(jax.random.PRNGKey(0), tiny_cfg.model)
     with pytest.raises(AssertionError):
         quant.quantize_model(params)
+
+
+def test_unified_int8_agreement(tiny_cfg):
+    """Unified model: the 'qa' recurrent subtree stays fp; VGG trunk +
+    img_fc quantize; the next-token forward agrees with fp32."""
+    import dataclasses
+
+    from lctvqa.models import unified
+
+    cfg = dataclasses.replace(tiny_cfg.model, arch_type="fixed",
+                              img_size=32)
+    params, _arch = unified.init_unified_model(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_model(params)
+    assert jax.tree_util.tree_structure(
+        qparams["qa"]) == jax.tree_util.tree_structure(params["qa"])
+    assert "w_q" in qparams["img_fc"]
+    rng = np.random.RandomState(6)
+    img = jnp.asarray(rng.rand(4, 32, 32, 3).astype(np.float32))
+    qa = jnp.asarray(rng.randint(0, cfg.qst_vocab_size, (4, 8))
+                     .astype(np.int32))
+    ref = unified.unified_forward(params, None, cfg, img, qa)
+    got = unified.unified_forward(qparams, None, cfg, img, qa)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.25, rel
