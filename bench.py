@@ -24,6 +24,10 @@ IMG = 64
 QLEN = 30
 QVOCAB = 8192
 AVOCAB = 1000
+# Serving batch for the headline: batch sweep winner on the v5e
+# (scripts/bench_infer_batch.py; 2048+ fails to compile). Module constant
+# so the CPU smoke test (tests/test_bench_sections.py) can shrink it.
+SERVE_BATCH = 1024
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baseline_cpu.json")
 
@@ -148,7 +152,7 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
     # number is returned alongside for continuity.
     rng = np.random.RandomState(0)
     best = {}
-    for b in (BATCH, 1024):
+    for b in (BATCH, SERVE_BATCH):
         u8 = jnp.asarray(rng.randint(0, 256, (b, IMG, IMG, 3),
                                      dtype=np.uint8))
         qst = jnp.asarray(rng.randint(0, QVOCAB, (b, QLEN)).astype(
@@ -165,10 +169,10 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
         float(out[0, 0])
         dt = time.perf_counter() - t0
         best[b] = b * n / dt
-    return best[1024], best[BATCH], 1024
+    return best[SERVE_BATCH], best[BATCH], SERVE_BATCH
 
 
-def int8_pairs_per_sec(iters: int = 30, batch: int = 1024) -> dict:
+def int8_pairs_per_sec(iters: int = 30, batch: int | None = None) -> dict:
     """Opt-in int8 serving path (lctvqa/quant.py): throughput at the
     serving batch + argmax answer agreement vs the bf16 forward. v5e
     executes int8 matmuls at 2x the bf16 MXU rate, so this is the
@@ -182,6 +186,7 @@ def int8_pairs_per_sec(iters: int = 30, batch: int = 1024) -> dict:
     from lctvqa.data.pipeline import normalize_images
     from lctvqa.models import vqa_w
 
+    batch = SERVE_BATCH if batch is None else batch
     cfg = ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
                       ans_vocab_size=AVOCAB, arch_type="fixed",
                       compute_dtype="bfloat16")

@@ -1,0 +1,41 @@
+"""CPU smoke of bench.py's measurement sections at tiny dims.
+
+bench.py is the driver's single source of the round headline; a bug in a
+newly added section must fail HERE, not in the one unattended TPU run at
+round end. Each section is monkeypatched to toy dimensions and executed
+for numbers-are-finite / keys-present contracts (timing values are
+meaningless on CPU and not asserted).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def bench_tiny(monkeypatch):
+    sys.path.insert(0, "/root/repo")
+    import bench
+    monkeypatch.setattr(bench, "BATCH", 8)
+    monkeypatch.setattr(bench, "IMG", 32)
+    monkeypatch.setattr(bench, "QLEN", 8)
+    monkeypatch.setattr(bench, "QVOCAB", 64)
+    monkeypatch.setattr(bench, "AVOCAB", 16)
+    monkeypatch.setattr(bench, "SERVE_BATCH", 16)
+    return bench
+
+
+def test_int8_section(bench_tiny):
+    out = bench_tiny.int8_pairs_per_sec(iters=2, batch=8)
+    assert set(out) == {"int8_pairs_per_sec", "int8_batch",
+                        "int8_answer_agreement"}
+    assert out["int8_batch"] == 8
+    assert np.isfinite(out["int8_pairs_per_sec"])
+    assert 0.0 <= out["int8_answer_agreement"] <= 1.0
+
+
+def test_inference_section(bench_tiny):
+    value, ref_batch, serve_batch = bench_tiny.tpu_pairs_per_sec(iters=2)
+    assert np.isfinite(value) and np.isfinite(ref_batch)
+    assert serve_batch == 16
