@@ -19,6 +19,7 @@ import time
 import numpy as np
 
 B, IMG, H, E, V, A, T = 64, 64, 512, 300, 8192, 1000, 30
+SERVE_BATCH = 1024  # module constant: CPU smoke shrinks it
 
 
 def main():
@@ -75,7 +76,7 @@ def main():
 
     # ---- 2. W forward ------------------------------------------------
     rng = np.random.RandomState(1)
-    for batch in (B, 1024):
+    for batch in (B, SERVE_BATCH):
         u8 = jax.device_put(rng.randint(0, 256, (batch, IMG, IMG, 3),
                                         dtype=np.uint8))
         qst = jax.device_put(rng.randint(0, V, (batch, T)).astype(
