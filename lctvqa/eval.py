@@ -30,6 +30,11 @@ def main(argv=None):
                    help="serve the checkpoint int8-quantized (lctvqa/quant"
                         ".py; fixed/derived encoders only — decode a "
                         "searched supernet to a genotype first)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="model-parallel degree: serve over a 2-D "
+                        "(data x model) mesh with the VGG classifier "
+                        "megatron-split (parallel/tp.py); device_count "
+                        "must be divisible by TP")
     args = p.parse_args(argv)
 
     import jax
@@ -75,6 +80,34 @@ def main(argv=None):
         print("genotype:", search.genotype(arch, mcfg.darts_steps,
                                            mcfg.darts_multiplier))
 
+    put_batch = lambda x: x  # noqa: E731 — identity off-mesh
+    dp_axis = 1
+    if args.tp > 1:
+        import dataclasses
+
+        from lctvqa.parallel import tp as tp_lib
+        ndev = jax.device_count()
+        if ndev % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide "
+                             f"device_count {ndev}")
+        dp = ndev // args.tp
+        if args.batch_size % max(dp, 1):
+            raise SystemExit(f"--batch_size {args.batch_size} not "
+                             f"divisible by the data axis ({dp})")
+        # Pallas kernels are single-chip accelerations; Mosaic custom
+        # calls cannot be auto-partitioned (same guard as Experiment).
+        mcfg = dataclasses.replace(
+            mcfg, pallas_mixed_op=False, use_pallas_lstm=False,
+            pallas_generate=False, pallas_seq_lstm=False)
+        mesh2 = tp_lib.make_mesh_2d(dp, args.tp)
+        ef_params = tp_lib.shard_params(ef_params, mesh2)
+        if arch is not None:
+            arch = jax.device_put(arch, tp_lib.replicated(mesh2))
+        bsh = tp_lib.batch_sharding(mesh2)
+        put_batch = lambda x: jax.device_put(np.asarray(x), bsh)  # noqa: E731
+        dp_axis = dp
+        print(f"serving on a {dp}x{args.tp} (data x model) mesh")
+
     data = pipeline.VqaH5Dataset(args.input_dir, "val")
     vqa_struct = VqaStruct(args.input_dir, "valid.npy")
     rng = np.random.default_rng(0)
@@ -105,16 +138,21 @@ def main(argv=None):
             data, args.batch_size, rng, shuffle=False)):
         if bi >= args.num_batches:
             break
+        if len(batch["image_u8"]) % dp_axis:
+            break  # ragged final batch cannot shard over the data axis
         corr, gen_det, gen_pred = eval_step(
-            ef_params, arch, batch["image_u8"], batch["question"],
-            batch["answer_label"], batch["answer_multi_choice"])
+            ef_params, arch, put_batch(batch["image_u8"]),
+            put_batch(batch["question"]),
+            put_batch(batch["answer_label"]),
+            put_batch(batch["answer_multi_choice"]))
         total_corr += int(corr)
         n += len(batch["image_u8"])
         names = data.image_names(batch["index"])
         total_b4 += calc_bleu_scores(names, np.asarray(gen_det), qv,
                                      vqa_struct)
         if bi == 0:
-            gen_sto = sample_step(ef_params, arch, batch["image_u8"],
+            gen_sto = sample_step(ef_params, arch,
+                                  put_batch(batch["image_u8"]),
                                   jax.random.PRNGKey(1))
             print("\n=== deterministic vs stochastic generation ===")
             for i in range(min(args.num_show, len(names))):

@@ -67,6 +67,19 @@ def test_cli_eval_int8(synth32, tmp_path, monkeypatch):
              "--batch_size", "8", "--num_batches", "1", "--int8"])
 
 
+def test_cli_eval_tp(synth32, tmp_path, monkeypatch):
+    """Serve a trained checkpoint over a 2x4 (data x model) mesh from the
+    eval CLI (--tp): the VGG classifier runs megatron-split
+    (parallel/tp.py) on the 8 virtual CPU devices."""
+    monkeypatch.chdir(tmp_path)
+    _run(synth32, tmp_path, "--exp", "cli_tp", "--skip_stage3",
+         "--arch_type", "fixed")
+    import lctvqa.eval as ev
+    ev.main(["--exp", "cli_tp", "--input_dir", synth32,
+             "--root_stats_dir", str(tmp_path / "experiment_data"),
+             "--batch_size", "8", "--num_batches", "1", "--tp", "4"])
+
+
 def test_cli_defaults_match_config_defaults():
     """argparse defaults must not drift from the Config dataclass
     defaults (caught live in round 3: --architect_mode kept 'exact'
