@@ -1,0 +1,296 @@
+"""AOT serving export: compile-once, serve-anywhere model artifacts.
+
+The reference has no serving path at all — inference happens inside the
+training notebooks (`basic_vqa/model-eval.ipynb`). This module is the
+TPU-native production story on top of the same checkpoints: a trained
+model is exported with `jax.export` into a serialized-StableHLO artifact
+that is loaded and served WITHOUT any model-building code, on the same
+or a different host/accelerator than the one it was exported from.
+
+Artifact = one pickle file holding
+
+    {"exported": {fn_name: stablehlo_bytes},
+     "params":   host-numpy param pytree (the call-time argument),
+     "meta":     {model family, shapes, vocab words, version, ...}}
+
+Design points:
+
+- The BATCH dimension is exported SYMBOLICALLY (`jax.export.symbolic_shape`),
+  so one artifact serves every batch size; XLA specializes at load time.
+- Params stay ARGUMENTS rather than baked-in constants: the StableHLO
+  stays small (no 500 MB weight constants shipped through the compiler —
+  see NOTES.md's axon constant-shipping hazard), the tree rides next to
+  the bytecode, and `--int8` re-exports reuse the identical program shape.
+- Exported for platforms ("cpu", "tpu") by default: the artifact is
+  CPU-verifiable in CI and TPU-servable in production. The opt-in Pallas
+  kernels are forced off for export — Mosaic custom-calls are TPU-only
+  and cannot live in a multi-platform module (same guard as the TP
+  serving path, `lctvqa/eval.py`).
+- `meta` embeds the answer/question vocab word lists when an
+  `--input_dir` is given, so a server can map logits -> answer strings
+  with nothing but the artifact.
+
+Inputs are raw `uint8` NHWC images and padded int32 question ids;
+ImageNet normalization happens inside the exported program so it fuses
+with the VGG stem on-device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import pickle
+from typing import Any, Dict, Optional
+
+ARTIFACT_VERSION = 1
+# Serving semantics: deterministic forward (dropout off), greedy decode.
+_PLATFORMS = ("cpu", "tpu")
+
+
+def _serving_config(mcfg):
+    """Model config with every Pallas opt-in forced off (multi-platform
+    export cannot carry Mosaic custom-calls; the jnp paths are the
+    parity-pinned equivalents)."""
+    return dataclasses.replace(
+        mcfg, use_pallas_lstm=False, pallas_seq_lstm=False,
+        pallas_generate=False, pallas_mixed_op=False)
+
+
+def _build_fns(family: str, mcfg, has_arch: bool):
+    """The serving functions for one model family, closed over the static
+    config only — params/arch arrive as the `bundle` argument."""
+    import jax.numpy as jnp
+
+    from lctvqa.data.pipeline import normalize_images
+    from lctvqa.models import vqa_ef, vqa_w
+
+    def _unpack(bundle):
+        return bundle["params"], (bundle["arch"] if has_arch else None)
+
+    if family == "w":
+        def answer_logits(bundle, u8, qst):
+            params, _ = _unpack(bundle)
+            img = normalize_images(u8)
+            return vqa_w.w_forward(params, mcfg, img, qst,
+                                   deterministic=True)
+
+        return {"answer_logits": answer_logits}
+
+    def answer_logits(bundle, u8, qst):
+        params, arch = _unpack(bundle)
+        img = normalize_images(u8)
+        logits, _ = vqa_ef.ef_forward(params, arch, mcfg, img, qst,
+                                      deterministic=True)
+        return logits
+
+    def generate(bundle, u8):
+        """Greedy question generation + its answer: (tokens [B,T],
+        ans_ids [B])."""
+        params, arch = _unpack(bundle)
+        img = normalize_images(u8)
+        gen_qst, gen_ans = vqa_ef.ef_generate(params, arch, mcfg, img,
+                                              deterministic=True)
+        return gen_qst, jnp.argmax(gen_ans, axis=1)
+
+    return {"answer_logits": answer_logits, "generate": generate}
+
+
+def _read_vocab(input_dir: Optional[str]) -> Dict[str, Any]:
+    if not input_dir:
+        return {}
+    from lctvqa.text import VocabDict
+    out = {}
+    for key, fname in (("qst_words", "vocab_questions.txt"),
+                       ("ans_words", "vocab_answers.txt")):
+        path = os.path.join(input_dir, fname)
+        if os.path.exists(path):
+            out[key] = list(VocabDict(path).word_list)
+    return out
+
+
+def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
+                 input_dir: Optional[str] = None,
+                 platforms=_PLATFORMS) -> Dict[str, Any]:
+    """Export a loaded checkpoint state dict -> artifact dict.
+
+    `state` is an `ef_model.ckpt` ({"ef_params", "arch", ...}) or a
+    `w_model.ckpt` ({"w_params", ...}) payload; `mcfg` the ModelConfig it
+    was trained with (self-describing checkpoints carry it)."""
+    import jax
+    import numpy as np
+    from jax import export as jexport
+
+    family = "w" if "w_params" in state else "ef"
+    params = state["w_params"] if family == "w" else state["ef_params"]
+    arch = None if family == "w" else state.get("arch")
+    if int8:
+        from lctvqa import quant
+        if getattr(mcfg, "arch_type", None) == "darts" and family == "ef":
+            raise ValueError(
+                "--int8 cannot serve the darts supernet; decode a genotype "
+                "and retrain with --arch_type derived first")
+        params = quant.quantize_model(params)
+
+    mcfg = _serving_config(mcfg)
+    bundle = {"params": params}
+    if arch is not None:
+        bundle["arch"] = arch
+    bundle = jax.tree_util.tree_map(lambda x: np.asarray(x), bundle)
+
+    (b,) = jexport.symbolic_shape("b")
+    img_spec = jax.ShapeDtypeStruct((b, mcfg.img_size, mcfg.img_size, 3),
+                                    np.uint8)
+    qst_spec = jax.ShapeDtypeStruct((b, mcfg.max_qst_len), np.int32)
+    bundle_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), bundle)
+
+    fns = _build_fns(family, mcfg, has_arch=arch is not None)
+    arg_specs = {"answer_logits": (bundle_spec, img_spec, qst_spec),
+                 "generate": (bundle_spec, img_spec)}
+    exported = {}
+    for name, fn in fns.items():
+        exp = jexport.export(jax.jit(fn),
+                             platforms=tuple(platforms))(*arg_specs[name])
+        exported[name] = exp.serialize()
+
+    meta = {
+        "artifact_version": ARTIFACT_VERSION,
+        "family": family,
+        "int8": bool(int8),
+        "platforms": list(platforms),
+        "img_size": mcfg.img_size,
+        "max_qst_len": mcfg.max_qst_len,
+        "qst_vocab_size": mcfg.qst_vocab_size,
+        "ans_vocab_size": mcfg.ans_vocab_size,
+        "arch_type": getattr(mcfg, "arch_type", "fixed"),
+        "epoch": state.get("epoch"),
+    }
+    from lctvqa import __version__
+    meta["lctvqa_version"] = __version__
+    meta.update(_read_vocab(input_dir))
+    return {"exported": exported, "params": bundle, "meta": meta}
+
+
+def save_artifact(artifact: Dict[str, Any], path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(artifact, f)
+    os.replace(tmp, path)
+
+
+class ServingModel:
+    """A loaded artifact: deserialized StableHLO + its param tree.
+
+    Needs only jax + numpy — none of the lctvqa model code runs at
+    serving time. Calls jit-cache per concrete batch shape (the exported
+    module itself is batch-symbolic)."""
+
+    def __init__(self, artifact: Dict[str, Any]):
+        import jax
+        from jax import export as jexport
+
+        self.meta = artifact["meta"]
+        self._params = artifact["params"]
+        self._fns = {name: jax.jit(jexport.deserialize(blob).call)
+                     for name, blob in artifact["exported"].items()}
+
+    @property
+    def functions(self):
+        return sorted(self._fns)
+
+    def answer_logits(self, u8_images, qst_ids):
+        return self._fns["answer_logits"](self._params, u8_images, qst_ids)
+
+    def answer_ids(self, u8_images, qst_ids):
+        import jax.numpy as jnp
+        return jnp.argmax(self.answer_logits(u8_images, qst_ids), axis=1)
+
+    def answers(self, u8_images, qst_ids):
+        """Answer strings (requires vocab embedded at export time)."""
+        words = self.meta.get("ans_words")
+        if not words:
+            raise ValueError("artifact was exported without --input_dir; "
+                             "no answer vocab embedded")
+        import numpy as np
+        ids = np.asarray(self.answer_ids(u8_images, qst_ids))
+        return [words[i] for i in ids]
+
+    def generate(self, u8_images):
+        if "generate" not in self._fns:
+            raise ValueError("W-model artifacts have no generate function")
+        return self._fns["generate"](self._params, u8_images)
+
+
+def load_artifact(path: str) -> ServingModel:
+    with open(path, "rb") as f:
+        return ServingModel(pickle.load(f))
+
+
+def _check_roundtrip(artifact: Dict[str, Any], mcfg) -> None:
+    """Exported program == direct model apply on random inputs (run at
+    --check time on the exporting host's default backend)."""
+    import jax
+    import numpy as np
+
+    model = ServingModel(artifact)
+    rng = np.random.default_rng(0)
+    for batch in (2, 5):  # two sizes: proves the symbolic batch dim
+        u8 = rng.integers(0, 256, (batch, mcfg.img_size, mcfg.img_size, 3),
+                          dtype=np.uint8)
+        qst = rng.integers(0, mcfg.qst_vocab_size,
+                           (batch, mcfg.max_qst_len), dtype=np.int32)
+        got = np.asarray(model.answer_logits(u8, qst))
+        fns = _build_fns(artifact["meta"]["family"], _serving_config(mcfg),
+                         has_arch="arch" in artifact["params"])
+        want = np.asarray(jax.jit(fns["answer_logits"])(
+            artifact["params"], u8, qst))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    print(f"check ok: answer_logits parity at batch sizes 2 and 5 "
+          f"({model.functions})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--root_stats_dir", type=str, default="./experiment_data")
+    p.add_argument("--model", type=str, default="ef", choices=("ef", "w"),
+                   help="which checkpoint of the experiment to export")
+    p.add_argument("--out", type=str, default=None,
+                   help="artifact path (default <exp_dir>/<model>_serving"
+                        ".lctx)")
+    p.add_argument("--int8", action="store_true",
+                   help="export the int8-quantized serving path "
+                        "(lctvqa/quant.py)")
+    p.add_argument("--input_dir", type=str, default=None,
+                   help="dataset dir; embeds the vocab word lists so the "
+                        "server can decode answers")
+    p.add_argument("--platforms", type=str, default="cpu,tpu")
+    p.add_argument("--check", action="store_true",
+                   help="after exporting, reload the artifact and verify "
+                        "logits parity vs the direct model")
+    args = p.parse_args(argv)
+
+    from lctvqa.train import checkpoint
+
+    exp_dir = os.path.join(args.root_stats_dir, args.exp)
+    ckpt = os.path.join(exp_dir, f"{args.model}_model.ckpt")
+    state = checkpoint.load_state(ckpt)
+    if state.get("config") is None:
+        raise SystemExit(f"{ckpt} has no embedded config (legacy artifact); "
+                         "re-save with a current lctvqa")
+    mcfg = state["config"].model
+    artifact = export_state(
+        state, mcfg, int8=args.int8, input_dir=args.input_dir,
+        platforms=tuple(s.strip() for s in args.platforms.split(",") if s))
+    out = args.out or os.path.join(exp_dir, f"{args.model}_serving.lctx")
+    save_artifact(artifact, out)
+    sizes = {k: len(v) for k, v in artifact["exported"].items()}
+    print(f"exported {sorted(sizes)} -> {out} "
+          f"(stablehlo bytes: {sizes}; int8={args.int8})")
+    if args.check:
+        _check_roundtrip(artifact, mcfg)
+
+
+if __name__ == "__main__":
+    main()

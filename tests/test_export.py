@@ -1,0 +1,132 @@
+"""AOT serving export (lctvqa/export.py).
+
+Contract: an exported artifact — serialized StableHLO + host param tree —
+reproduces the direct model apply bit-for-tolerance, at MULTIPLE batch
+sizes from ONE export (the batch dim is symbolic), and the CLI round-trips
+a real checkpoint from disk. The reference has no serving path
+(inference lives in `basic_vqa/model-eval.ipynb`); this is TPU-native
+capability beyond parity.
+"""
+
+import dataclasses
+import os
+import pickle
+
+import jax
+import numpy as np
+import pytest
+
+from lctvqa import export as exp_mod
+from lctvqa.models import vqa_ef, vqa_w
+
+
+def _rand_inputs(mcfg, batch, seed=0):
+    rng = np.random.default_rng(seed)
+    u8 = rng.integers(0, 256, (batch, mcfg.img_size, mcfg.img_size, 3),
+                      dtype=np.uint8)
+    qst = rng.integers(0, mcfg.qst_vocab_size, (batch, mcfg.max_qst_len),
+                       dtype=np.int32)
+    return u8, qst
+
+
+def test_w_export_roundtrip_symbolic_batch(tiny_cfg):
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
+    artifact = exp_mod.export_state({"w_params": params}, mcfg)
+    assert artifact["meta"]["family"] == "w"
+    assert sorted(artifact["exported"]) == ["answer_logits"]
+
+    # serialize/deserialize through bytes like a real artifact file would
+    model = exp_mod.ServingModel(pickle.loads(pickle.dumps(artifact)))
+    scfg = exp_mod._serving_config(mcfg)
+    for batch in (2, 5):  # one export, two batch sizes
+        u8, qst = _rand_inputs(mcfg, batch, seed=batch)
+        got = np.asarray(model.answer_logits(u8, qst))
+        from lctvqa.data.pipeline import normalize_images
+        want = np.asarray(jax.jit(
+            lambda p, u, q: vqa_w.w_forward(p, scfg, normalize_images(u), q,
+                                            deterministic=True))(
+            artifact["params"]["params"], u8, qst))
+        assert got.shape == (batch, mcfg.ans_vocab_size)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_ef_darts_export_logits_and_generate(tiny_cfg):
+    mcfg = tiny_cfg.model  # darts supernet at 16px
+    ef_params, arch = vqa_ef.init_ef_model(jax.random.PRNGKey(1), mcfg)
+    artifact = exp_mod.export_state(
+        {"ef_params": ef_params, "arch": arch, "epoch": 3}, mcfg)
+    assert sorted(artifact["exported"]) == ["answer_logits", "generate"]
+    assert artifact["meta"]["epoch"] == 3
+
+    model = exp_mod.ServingModel(artifact)
+    scfg = exp_mod._serving_config(mcfg)
+    u8, qst = _rand_inputs(mcfg, 3)
+    from lctvqa.data.pipeline import normalize_images
+    got = np.asarray(model.answer_logits(u8, qst))
+    want = np.asarray(jax.jit(
+        lambda b, u, q: vqa_ef.ef_forward(
+            b["params"], b["arch"], scfg, normalize_images(u), q,
+            deterministic=True)[0])(artifact["params"], u8, qst))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    gen_qst, gen_ans = model.generate(u8)
+    ref_qst, ref_ans_logits = jax.jit(
+        lambda b, u: vqa_ef.ef_generate(
+            b["params"], b["arch"], scfg, normalize_images(u),
+            deterministic=True))(artifact["params"], u8)
+    np.testing.assert_array_equal(np.asarray(gen_qst), np.asarray(ref_qst))
+    np.testing.assert_array_equal(np.asarray(gen_ans),
+                                  np.argmax(np.asarray(ref_ans_logits), 1))
+
+
+def test_w_export_int8_matches_quantized_apply(tiny_cfg):
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(2), mcfg)
+    artifact = exp_mod.export_state({"w_params": params}, mcfg, int8=True)
+    assert artifact["meta"]["int8"] is True
+    model = exp_mod.ServingModel(artifact)
+    u8, qst = _rand_inputs(mcfg, 4, seed=7)
+    scfg = exp_mod._serving_config(mcfg)
+    from lctvqa.data.pipeline import normalize_images
+    want = np.asarray(jax.jit(
+        lambda p, u, q: vqa_w.w_forward(p, scfg, normalize_images(u), q,
+                                        deterministic=True))(
+        artifact["params"]["params"], u8, qst))
+    got = np.asarray(model.answer_logits(u8, qst))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_export_of_darts_supernet_rejected(tiny_cfg):
+    mcfg = tiny_cfg.model
+    ef_params, arch = vqa_ef.init_ef_model(jax.random.PRNGKey(3), mcfg)
+    with pytest.raises(ValueError, match="darts supernet"):
+        exp_mod.export_state({"ef_params": ef_params, "arch": arch},
+                             mcfg, int8=True)
+
+
+def test_export_cli_roundtrip(tmp_path, tiny_cfg, synth_dir):
+    """CLI: checkpoint on disk -> artifact -> --check parity, with the
+    vocab embedded from the dataset dir and answers() decoding."""
+    from lctvqa.train import checkpoint
+
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    cfg = dataclasses.replace(tiny_cfg, model=mcfg)
+    params = vqa_w.init_w_model(jax.random.PRNGKey(4), mcfg)
+    exp_dir = tmp_path / "expX"
+    os.makedirs(exp_dir)
+    checkpoint.save_state(str(exp_dir / "w_model.ckpt"),
+                          {"w_params": params, "epoch": 1}, config=cfg)
+    out = tmp_path / "w_serving.lctx"
+    exp_mod.main(["--exp", "expX", "--root_stats_dir", str(tmp_path),
+                  "--model", "w", "--out", str(out),
+                  "--input_dir", synth_dir, "--check"])
+    model = exp_mod.load_artifact(str(out))
+    # vocab embedded -> string answers come straight off the artifact
+    u8, qst = _rand_inputs(mcfg, 2, seed=9)
+    ans = model.answers(u8, qst)
+    assert len(ans) == 2 and all(isinstance(a, str) for a in ans)
+    assert model.meta["lctvqa_version"]
