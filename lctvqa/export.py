@@ -77,6 +77,19 @@ def _build_fns(family: str, mcfg, has_arch: bool):
 
         return {"answer_logits": answer_logits}
 
+    if family == "unified":
+        from lctvqa.models import unified as unified_model
+
+        def generate_qa(bundle, u8):
+            """Greedy `<start> q <sep> a <end>` stream, int32 [B, T]
+            (darts_vqa's img->QA serving mode)."""
+            params, arch = _unpack(bundle)
+            img = normalize_images(u8)
+            return unified_model.unified_generate(params, arch, mcfg, img,
+                                                  deterministic=True)
+
+        return {"generate": generate_qa}
+
     def answer_logits(bundle, u8, qst):
         params, arch = _unpack(bundle)
         img = normalize_images(u8)
@@ -102,7 +115,8 @@ def _read_vocab(input_dir: Optional[str]) -> Dict[str, Any]:
     from lctvqa.text import VocabDict
     out = {}
     for key, fname in (("qst_words", "vocab_questions.txt"),
-                       ("ans_words", "vocab_answers.txt")):
+                       ("ans_words", "vocab_answers.txt"),
+                       ("unified_words", "vocab_unified.txt")):
         path = os.path.join(input_dir, fname)
         if os.path.exists(path):
             out[key] = list(VocabDict(path).word_list)
@@ -114,19 +128,29 @@ def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
                  platforms=_PLATFORMS) -> Dict[str, Any]:
     """Export a loaded checkpoint state dict -> artifact dict.
 
-    `state` is an `ef_model.ckpt` ({"ef_params", "arch", ...}) or a
-    `w_model.ckpt` ({"w_params", ...}) payload; `mcfg` the ModelConfig it
-    was trained with (self-describing checkpoints carry it)."""
+    `state` is an `ef_model.ckpt` ({"ef_params", "arch", ...}), a
+    `w_model.ckpt` ({"w_params", ...}), or a darts/unified-family
+    `vqa_model.ckpt` ({"params", ...} + arch merged from `arch_par.ckpt`)
+    payload; `mcfg` the ModelConfig it was trained with (self-describing
+    checkpoints carry it)."""
     import jax
     import numpy as np
     from jax import export as jexport
 
-    family = "w" if "w_params" in state else "ef"
-    params = state["w_params"] if family == "w" else state["ef_params"]
+    if "w_params" in state:
+        family, params = "w", state["w_params"]
+    elif "ef_params" in state:
+        family, params = "ef", state["ef_params"]
+    else:
+        # darts/unified family checkpoint (experiment_darts.save_model):
+        # the unified model's QA-stream decoder lives under params["qa"],
+        # the EF model's question encoder under params["qst"].
+        params = state["params"]
+        family = "unified" if "qa" in params else "ef"
     arch = None if family == "w" else state.get("arch")
     if int8:
         from lctvqa import quant
-        if getattr(mcfg, "arch_type", None) == "darts" and family == "ef":
+        if getattr(mcfg, "arch_type", None) == "darts" and family != "w":
             raise ValueError(
                 "--int8 cannot serve the darts supernet; decode a genotype "
                 "and retrain with --arch_type derived first")
@@ -221,6 +245,39 @@ class ServingModel:
             raise ValueError("W-model artifacts have no generate function")
         return self._fns["generate"](self._params, u8_images)
 
+    def generated_answers(self, u8_images):
+        """Answer strings decoded from greedy generation.
+
+        unified family: the answer segment of the QA stream (words
+        strictly between <sep> and <end>, darts_vqa/misc.py:107-122);
+        ef family: the vocab word of the generated-question answer head."""
+        import numpy as np
+        out = self.generate(u8_images)
+        if self.meta["family"] == "unified":
+            words = self.meta.get("unified_words")
+            if not words:
+                raise ValueError("artifact was exported without --input_dir;"
+                                 " no unified vocab embedded")
+            answers = []
+            for row in np.asarray(out):
+                toks = [words[int(i)] for i in row]
+                ans, in_ans = [], False
+                for w in toks:
+                    if w == "<sep>":
+                        in_ans = True
+                    elif w == "<end>":
+                        break
+                    elif in_ans:
+                        ans.append(w)
+                answers.append(" ".join(ans))
+            return answers
+        words = self.meta.get("ans_words")
+        if not words:
+            raise ValueError("artifact was exported without --input_dir; "
+                             "no answer vocab embedded")
+        _, ans_ids = out
+        return [words[int(i)] for i in np.asarray(ans_ids)]
+
 
 def load_artifact(path: str) -> ServingModel:
     with open(path, "rb") as f:
@@ -228,34 +285,44 @@ def load_artifact(path: str) -> ServingModel:
 
 
 def _check_roundtrip(artifact: Dict[str, Any], mcfg) -> None:
-    """Exported program == direct model apply on random inputs (run at
-    --check time on the exporting host's default backend)."""
+    """Exported programs == direct model apply on random inputs (run at
+    --check time on the exporting host's default backend). Float outputs
+    to 2e-4; token/id outputs exactly."""
     import jax
     import numpy as np
 
     model = ServingModel(artifact)
+    fns = _build_fns(artifact["meta"]["family"], _serving_config(mcfg),
+                     has_arch="arch" in artifact["params"])
     rng = np.random.default_rng(0)
     for batch in (2, 5):  # two sizes: proves the symbolic batch dim
         u8 = rng.integers(0, 256, (batch, mcfg.img_size, mcfg.img_size, 3),
                           dtype=np.uint8)
         qst = rng.integers(0, mcfg.qst_vocab_size,
                            (batch, mcfg.max_qst_len), dtype=np.int32)
-        got = np.asarray(model.answer_logits(u8, qst))
-        fns = _build_fns(artifact["meta"]["family"], _serving_config(mcfg),
-                         has_arch="arch" in artifact["params"])
-        want = np.asarray(jax.jit(fns["answer_logits"])(
-            artifact["params"], u8, qst))
-        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
-    print(f"check ok: answer_logits parity at batch sizes 2 and 5 "
-          f"({model.functions})")
+        args = {"answer_logits": (u8, qst), "generate": (u8,)}
+        for name in model.functions:
+            got = model._fns[name](model._params, *args[name])
+            want = jax.jit(fns[name])(artifact["params"], *args[name])
+            for g, w in zip(jax.tree_util.tree_leaves(got),
+                            jax.tree_util.tree_leaves(want)):
+                g, w = np.asarray(g), np.asarray(w)
+                if np.issubdtype(g.dtype, np.floating):
+                    np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-4)
+                else:
+                    np.testing.assert_array_equal(g, w)
+    print(f"check ok: {model.functions} parity at batch sizes 2 and 5")
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     p.add_argument("--exp", type=str, required=True)
     p.add_argument("--root_stats_dir", type=str, default="./experiment_data")
-    p.add_argument("--model", type=str, default="ef", choices=("ef", "w"),
-                   help="which checkpoint of the experiment to export")
+    p.add_argument("--model", type=str, default="ef",
+                   choices=("ef", "w", "vqa"),
+                   help="which checkpoint of the experiment to export; "
+                        "'vqa' is the darts/unified families' "
+                        "vqa_model.ckpt (+ arch_par.ckpt when present)")
     p.add_argument("--out", type=str, default=None,
                    help="artifact path (default <exp_dir>/<model>_serving"
                         ".lctx)")
@@ -276,6 +343,12 @@ def main(argv=None):
     exp_dir = os.path.join(args.root_stats_dir, args.exp)
     ckpt = os.path.join(exp_dir, f"{args.model}_model.ckpt")
     state = checkpoint.load_state(ckpt)
+    if args.model == "vqa":
+        # darts/unified family: arch params ride in a sibling checkpoint
+        # (experiment_darts.save_model, after darts_vqa's arch_par.pt)
+        ap = os.path.join(exp_dir, "arch_par.ckpt")
+        if checkpoint.exists(ap):
+            state = dict(state, arch=checkpoint.load_state(ap)["arch"])
     if state.get("config") is None:
         raise SystemExit(f"{ckpt} has no embedded config (legacy artifact); "
                          "re-save with a current lctvqa")

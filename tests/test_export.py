@@ -107,6 +107,64 @@ def test_int8_export_of_darts_supernet_rejected(tiny_cfg):
                              mcfg, int8=True)
 
 
+def test_unified_export_generate_roundtrip(tiny_cfg):
+    """darts/unified-family checkpoint layout ({'params': ...}); serving
+    is the img -> QA-stream generate; tokens must match exactly."""
+    from lctvqa.models import unified as unified_model
+
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    params, arch = unified_model.init_unified_model(
+        jax.random.PRNGKey(5), mcfg)
+    artifact = exp_mod.export_state({"params": params, "epoch": 2}, mcfg)
+    assert artifact["meta"]["family"] == "unified"
+    assert sorted(artifact["exported"]) == ["generate"]
+
+    model = exp_mod.ServingModel(pickle.loads(pickle.dumps(artifact)))
+    scfg = exp_mod._serving_config(mcfg)
+    from lctvqa.data.pipeline import normalize_images
+    for batch in (2, 5):
+        u8, _ = _rand_inputs(mcfg, batch, seed=batch)
+        got = np.asarray(model.generate(u8))
+        want = np.asarray(jax.jit(
+            lambda p, u: unified_model.unified_generate(
+                p, None, scfg, normalize_images(u), deterministic=True))(
+            artifact["params"]["params"], u8))
+        assert got.shape == (batch, mcfg.max_qst_len)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_export_cli_vqa_checkpoint_with_arch(tmp_path, tiny_cfg, synth_dir):
+    """CLI --model vqa: darts-family vqa_model.ckpt + arch_par.ckpt merge,
+    unified answer-string decoding off the artifact."""
+    from lctvqa.models import unified as unified_model
+    from lctvqa.train import checkpoint
+
+    from lctvqa.text import VocabDict
+    uni = VocabDict(os.path.join(synth_dir, "vocab_unified.txt"))
+    # unified models run on the single QA vocab (init_unified_model doc)
+    mcfg = dataclasses.replace(tiny_cfg.model,  # darts supernet at 16px
+                               qst_vocab_size=uni.vocab_size)
+    cfg = dataclasses.replace(tiny_cfg, model=mcfg)
+    params, arch = unified_model.init_unified_model(
+        jax.random.PRNGKey(6), mcfg)
+    exp_dir = tmp_path / "expU"
+    os.makedirs(exp_dir)
+    checkpoint.save_state(str(exp_dir / "vqa_model.ckpt"),
+                          {"params": params, "epoch": 1}, config=cfg)
+    checkpoint.save_state(str(exp_dir / "arch_par.ckpt"),
+                          {"arch": arch}, config=cfg)
+    out = tmp_path / "vqa_serving.lctx"
+    exp_mod.main(["--exp", "expU", "--root_stats_dir", str(tmp_path),
+                  "--model", "vqa", "--out", str(out),
+                  "--input_dir", synth_dir, "--check"])
+    model = exp_mod.load_artifact(str(out))
+    assert "arch" in model._params  # supernet arch rode into the artifact
+    u8, _ = _rand_inputs(mcfg, 2, seed=11)
+    ans = model.generated_answers(u8)
+    assert len(ans) == 2 and all(isinstance(a, str) for a in ans)
+
+
 def test_export_cli_roundtrip(tmp_path, tiny_cfg, synth_dir):
     """CLI: checkpoint on disk -> artifact -> --check parity, with the
     vocab embedded from the dataset dir and answers() decoding."""
