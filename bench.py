@@ -409,11 +409,29 @@ def main():
                    help="headline inference number only (fast)")
     args = p.parse_args()
     if not _tpu_reachable():
-        print(json.dumps({
+        out = {
             "metric": "vqa_pairs_per_sec_per_chip", "value": 0,
             "unit": "pairs/s", "vs_baseline": 0,
             "error": "TPU backend unreachable (axon tunnel down; "
-                     "jax.devices() hung >600s)"}))
+                     "jax.devices() hung >600s)"}
+        # Surface the most recent completed measurement (clearly labeled
+        # stale) so an outage at bench time doesn't erase measured state.
+        details = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_details.json")
+        try:
+            with open(details) as f:
+                d = json.load(f)
+            out["last_measured_stale"] = {
+                "mtime": time.strftime(
+                    "%Y-%m-%d %H:%M", time.localtime(os.path.getmtime(
+                        details))),
+                **d,
+                "vs_baseline": round(
+                    d["inference_pairs_per_sec"] / _get_baseline(), 2),
+            }
+        except (OSError, KeyError, ValueError):
+            pass
+        print(json.dumps(out))
         return
     baseline = _get_baseline()
     value, value_ref_batch, serve_batch = tpu_pairs_per_sec(args.iters)
