@@ -203,6 +203,20 @@ def save_artifact(artifact: Dict[str, Any], path: str) -> None:
     os.replace(tmp, path)
 
 
+def extract_answer_words(words) -> str:
+    """Words strictly between <sep> and <end> of a decoded unified QA
+    stream (darts_vqa/misc.py:107-122)."""
+    ans, in_ans = [], False
+    for w in words:
+        if w == "<sep>":
+            in_ans = True
+        elif w == "<end>":
+            break
+        elif in_ans:
+            ans.append(w)
+    return " ".join(ans)
+
+
 class ServingModel:
     """A loaded artifact: deserialized StableHLO + its param tree.
 
@@ -258,19 +272,8 @@ class ServingModel:
             if not words:
                 raise ValueError("artifact was exported without --input_dir;"
                                  " no unified vocab embedded")
-            answers = []
-            for row in np.asarray(out):
-                toks = [words[int(i)] for i in row]
-                ans, in_ans = [], False
-                for w in toks:
-                    if w == "<sep>":
-                        in_ans = True
-                    elif w == "<end>":
-                        break
-                    elif in_ans:
-                        ans.append(w)
-                answers.append(" ".join(ans))
-            return answers
+            return [extract_answer_words([words[int(i)] for i in row])
+                    for row in np.asarray(out)]
         words = self.meta.get("ans_words")
         if not words:
             raise ValueError("artifact was exported without --input_dir; "
