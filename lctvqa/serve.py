@@ -208,6 +208,26 @@ class VqaService:
             res["answer"] = self._ans_words[int(ans_id)]
         return res
 
+    def warmup(self, max_batch: Optional[int] = None) -> int:
+        """Precompile every exported function at every power-of-two batch
+        bucket (XLA specializes the symbolic-batch program per concrete
+        shape; on a TPU behind a slow compile path this turns first-hit
+        multi-second stalls into startup cost). Returns #programs run."""
+        mb = max_batch or self.batcher._max_batch
+        s = self.meta["img_size"]
+        L = self.meta["max_qst_len"]
+        n = 0
+        b = 1
+        while b <= mb:
+            u8 = np.zeros((b, s, s, 3), np.uint8)
+            qst = np.zeros((b, L), np.int32)
+            args = {"answer_logits": (u8, qst), "generate": (u8,)}
+            for name in self.model.functions:
+                self.model._fns[name](self.model._params, *args[name])
+                n += 1
+            b *= 2
+        return n
+
     def healthz(self) -> Dict[str, Any]:
         return {"ok": True, "family": self.meta["family"],
                 "functions": self.model.functions,
@@ -279,12 +299,18 @@ def main(argv=None):
                    help="micro-batching window after the first pending "
                         "request")
     p.add_argument("--max_batch", type=int, default=64)
+    p.add_argument("--warmup", action="store_true",
+                   help="precompile all batch buckets before accepting "
+                        "traffic (slow startup, no first-hit stalls)")
     args = p.parse_args(argv)
 
     srv = make_server(args.artifact, args.host, args.port,
                       args.window_ms, args.max_batch)
     host, port = srv.server_address[:2]
     svc: VqaService = srv.RequestHandlerClass.service  # type: ignore
+    if args.warmup:
+        n = svc.warmup()
+        print(f"warmup: {n} programs compiled", flush=True)
     print(f"serving {svc.meta['family']} artifact ({svc.model.functions}) "
           f"on http://{host}:{port}  window={args.window_ms}ms "
           f"max_batch={args.max_batch}", flush=True)

@@ -106,6 +106,13 @@ def test_answer_matches_artifact_and_batches(w_server):
     assert max(svc.batcher.batch_sizes) > 1
 
 
+def test_warmup_compiles_all_buckets(w_server):
+    srv, _, _ = w_server
+    svc = srv.RequestHandlerClass.service
+    # max_batch=8 -> buckets 1,2,4,8; W artifact has 1 function
+    assert svc.warmup() == 4
+
+
 def test_answer_accepts_raw_b64_image(w_server):
     srv, _, _ = w_server
     port = srv.server_address[1]
