@@ -39,3 +39,18 @@ def test_inference_section(bench_tiny):
     value, ref_batch, serve_batch = bench_tiny.tpu_pairs_per_sec(iters=2)
     assert np.isfinite(value) and np.isfinite(ref_batch)
     assert serve_batch == 16
+
+
+def test_pipeline_bench_paths(tmp_path):
+    """Both A/B paths of scripts/bench_pipeline.py run and report
+    positive pairs/s on a mini synthetic set."""
+    from lctvqa.data.synthetic import make_dataset
+
+    from scripts.bench_pipeline import _bench_lctvqa, _bench_reference_style
+
+    d = str(tmp_path / "pipe")
+    make_dataset(d, num_images=8, num_questions=64, img_size=16,
+                 n_answers=16)
+    ours = _bench_lctvqa(d, batch_size=8, epochs=1, use_native=False)
+    ref = _bench_reference_style(d, batch_size=8, epochs=1)
+    assert ours > 0 and ref > 0
