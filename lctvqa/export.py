@@ -192,7 +192,23 @@ def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
     }
     from lctvqa import __version__
     meta["lctvqa_version"] = __version__
-    meta.update(_read_vocab(input_dir))
+    vocab = _read_vocab(input_dir)
+    # A vocab shorter than the model head silently mislabels (or, for
+    # answers, IndexErrors at serve time on any argmax past the list):
+    # the checkpoint and --input_dir come from different runs. Refuse,
+    # checking only the vocabs this family's serving path consumes.
+    checks = (("unified_words", "qst_vocab_size"),) if family == "unified" \
+        else (("qst_words", "qst_vocab_size"),
+              ("ans_words", "ans_vocab_size"))
+    for key, size_key in checks:
+        words = vocab.get(key)
+        if words is not None and len(words) != meta[size_key]:
+            raise ValueError(
+                f"--input_dir vocab mismatch: {key} has {len(words)} "
+                f"entries but the checkpoint's {size_key} is "
+                f"{meta[size_key]}; this vocab is not the one the model "
+                "was trained with")
+    meta.update(vocab)
     return {"exported": exported, "params": bundle, "meta": meta}
 
 

@@ -275,6 +275,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(404, {"error": f"unknown path {self.path}"})
         except (ValueError, KeyError, RuntimeError) as e:
             self._send(400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — a dropped connection with
+            # no response (the default for an uncaught handler error) is
+            # strictly worse for the client than a 500 body
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
 
 def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
@@ -304,6 +308,8 @@ def main(argv=None):
                         "traffic (slow startup, no first-hit stalls)")
     args = p.parse_args(argv)
 
+    from lctvqa import compile_cache
+    compile_cache.enable()
     srv = make_server(args.artifact, args.host, args.port,
                       args.window_ms, args.max_batch)
     host, port = srv.server_address[:2]

@@ -94,6 +94,9 @@ def main(argv=None):
     p.add_argument("--max_batch", type=int, default=64)
     args = p.parse_args(argv)
 
+    from lctvqa import compile_cache
+    compile_cache.enable()
+
     print(f"{'window':>8} {'req/s':>8} {'p50 ms':>8} {'p99 ms':>8} "
           f"{'avg batch':>10} {'dispatches':>11}")
     rows = []

@@ -169,9 +169,16 @@ def test_export_cli_roundtrip(tmp_path, tiny_cfg, synth_dir):
     """CLI: checkpoint on disk -> artifact -> --check parity, with the
     vocab embedded from the dataset dir and answers() decoding."""
     from lctvqa.train import checkpoint
+    from lctvqa.text import VocabDict
 
-    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
-                               arch_type="fixed")
+    # vocab sizes from the dataset's files, as training derives them
+    # (main.py:176) — export_state refuses mismatched --input_dir
+    mcfg = dataclasses.replace(
+        tiny_cfg.model, img_size=32, arch_type="fixed",
+        qst_vocab_size=VocabDict(
+            os.path.join(synth_dir, "vocab_questions.txt")).vocab_size,
+        ans_vocab_size=VocabDict(
+            os.path.join(synth_dir, "vocab_answers.txt")).vocab_size)
     cfg = dataclasses.replace(tiny_cfg, model=mcfg)
     params = vqa_w.init_w_model(jax.random.PRNGKey(4), mcfg)
     exp_dir = tmp_path / "expX"
@@ -188,3 +195,16 @@ def test_export_cli_roundtrip(tmp_path, tiny_cfg, synth_dir):
     ans = model.answers(u8, qst)
     assert len(ans) == 2 and all(isinstance(a, str) for a in ans)
     assert model.meta["lctvqa_version"]
+
+
+def test_export_rejects_mismatched_vocab_dir(tiny_cfg, synth_dir):
+    """Chip-found bug: exporting with an --input_dir whose vocab files
+    don't match the checkpoint's head sizes embedded a too-short answer
+    vocab, and serving IndexError'd on any argmax past the list. The
+    export must refuse (export.py export_state vocab check)."""
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed", ans_vocab_size=1000)
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
+    with pytest.raises(ValueError, match="vocab mismatch"):
+        exp_mod.export_state({"w_params": params}, mcfg,
+                             input_dir=synth_dir)

@@ -24,8 +24,16 @@ from lctvqa.models import vqa_w
 
 @pytest.fixture(scope="module")
 def w_server(tmp_path_factory, tiny_cfg, synth_dir):
-    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
-                               arch_type="fixed")
+    from lctvqa.text import VocabDict
+
+    # vocab sizes come from the dataset's vocab files, exactly as training
+    # derives them (main.py:176) — export_state refuses mismatched dirs
+    mcfg = dataclasses.replace(
+        tiny_cfg.model, img_size=32, arch_type="fixed",
+        qst_vocab_size=VocabDict(
+            os.path.join(synth_dir, "vocab_questions.txt")).vocab_size,
+        ans_vocab_size=VocabDict(
+            os.path.join(synth_dir, "vocab_answers.txt")).vocab_size)
     params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
     artifact = exp_mod.export_state({"w_params": params}, mcfg,
                                     input_dir=synth_dir)
@@ -163,3 +171,20 @@ def test_unified_generate_endpoint(tmp_path, tiny_cfg, synth_dir):
         assert status == 400 and "generate" in out["error"]
     finally:
         srv.shutdown()
+
+
+def test_unexpected_handler_error_gets_500_not_dropped(w_server):
+    """Chip-found bug: an exception class do_POST didn't catch closed the
+    connection with NO response (client sees RemoteDisconnected). Any
+    unexpected error must come back as a 500 JSON body."""
+    srv, _, _ = w_server
+    port = srv.server_address[1]
+    svc = srv.RequestHandlerClass.service
+    orig = svc.answer
+    svc.answer = lambda payload: (_ for _ in ()).throw(
+        IndexError("list index out of range"))
+    try:
+        status, out = _post(port, "/answer", {"question": "x"})
+        assert status == 500 and "IndexError" in out["error"]
+    finally:
+        svc.answer = orig
