@@ -169,15 +169,6 @@ def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
     bundle_spec = jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), bundle)
 
-    fns = _build_fns(family, mcfg, has_arch=arch is not None)
-    arg_specs = {"answer_logits": (bundle_spec, img_spec, qst_spec),
-                 "generate": (bundle_spec, img_spec)}
-    exported = {}
-    for name, fn in fns.items():
-        exp = jexport.export(jax.jit(fn),
-                             platforms=tuple(platforms))(*arg_specs[name])
-        exported[name] = exp.serialize()
-
     meta = {
         "artifact_version": ARTIFACT_VERSION,
         "family": family,
@@ -195,8 +186,9 @@ def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
     vocab = _read_vocab(input_dir)
     # A vocab shorter than the model head silently mislabels (or, for
     # answers, IndexErrors at serve time on any argmax past the list):
-    # the checkpoint and --input_dir come from different runs. Refuse,
-    # checking only the vocabs this family's serving path consumes.
+    # the checkpoint and --input_dir come from different runs. Refuse —
+    # BEFORE the (multi-minute) StableHLO export loop — checking only the
+    # vocabs this family's serving path consumes.
     checks = (("unified_words", "qst_vocab_size"),) if family == "unified" \
         else (("qst_words", "qst_vocab_size"),
               ("ans_words", "ans_vocab_size"))
@@ -209,14 +201,113 @@ def export_state(state: Dict[str, Any], mcfg, *, int8: bool = False,
                 f"{meta[size_key]}; this vocab is not the one the model "
                 "was trained with")
     meta.update(vocab)
+
+    fns = _build_fns(family, mcfg, has_arch=arch is not None)
+    arg_specs = {"answer_logits": (bundle_spec, img_spec, qst_spec),
+                 "generate": (bundle_spec, img_spec)}
+    exported = {}
+    for name, fn in fns.items():
+        exp = jexport.export(jax.jit(fn),
+                             platforms=tuple(platforms))(*arg_specs[name])
+        exported[name] = exp.serialize()
     return {"exported": exported, "params": bundle, "meta": meta}
 
 
+def _tree_to_skeleton(tree, leaves: list):
+    """JSON-able skeleton of a params pytree; ndarray leaves are appended
+    to `leaves` and replaced by their index. Node types are tagged so the
+    reconstructed pytree structure is EXACTLY the traced one (tuple vs
+    list matters to the exported call)."""
+    if isinstance(tree, dict):
+        return {"__d__": {k: _tree_to_skeleton(v, leaves)
+                          for k, v in tree.items()}}
+    if isinstance(tree, list):
+        return {"__l__": [_tree_to_skeleton(v, leaves) for v in tree]}
+    if isinstance(tree, tuple):
+        return {"__t__": [_tree_to_skeleton(v, leaves) for v in tree]}
+    import numpy as np
+    leaves.append(np.asarray(tree))
+    return {"__leaf__": len(leaves) - 1}
+
+
+def _skeleton_to_tree(skel, leaves: list):
+    if "__leaf__" in skel:
+        return leaves[skel["__leaf__"]]
+    if "__d__" in skel:
+        return {k: _skeleton_to_tree(v, leaves)
+                for k, v in skel["__d__"].items()}
+    if "__l__" in skel:
+        return [_skeleton_to_tree(v, leaves) for v in skel["__l__"]]
+    return tuple(_skeleton_to_tree(v, leaves) for v in skel["__t__"])
+
+
+def _np_dtype(name: str):
+    import numpy as np
+    try:
+        return np.dtype(name)
+    except TypeError:  # bfloat16 etc. live in ml_dtypes
+        import ml_dtypes
+        return np.dtype(getattr(ml_dtypes, name))
+
+
 def save_artifact(artifact: Dict[str, Any], path: str) -> None:
+    """Write the artifact as a ZIP of StableHLO bytes + raw param leaves
+    + JSON meta/tree. No pickle anywhere (r3 verdict #8: a serving
+    artifact requiring pickle.load of untrusted files is an
+    arbitrary-code-execution surface). Layout:
+
+        meta.json            artifact["meta"] (JSON)
+        tree.json            {"skeleton", "leaves": [{dtype, shape}...]}
+        leaves/<i>           raw little-endian bytes of param leaf i
+        exported/<name>      serialized StableHLO of each function
+    """
+    import json
+    import zipfile
+
+    leaves: list = []
+    skeleton = _tree_to_skeleton(artifact["params"], leaves)
     tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(artifact, f)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("meta.json", json.dumps(artifact["meta"]))
+        z.writestr("tree.json", json.dumps(
+            {"skeleton": skeleton,
+             "leaves": [{"dtype": a.dtype.name, "shape": list(a.shape)}
+                        for a in leaves]}))
+        for i, a in enumerate(leaves):
+            z.writestr(f"leaves/{i}", a.tobytes())
+        for name, blob in artifact["exported"].items():
+            z.writestr(f"exported/{name}", blob)
     os.replace(tmp, path)
+
+
+def read_artifact(path: str, trusted: bool = False) -> Dict[str, Any]:
+    """Read an artifact file -> artifact dict. ZIP artifacts (the current
+    format) load with no code execution; legacy pickle artifacts require
+    trusted=True (serve CLI: --trusted)."""
+    import json
+    import zipfile
+
+    import numpy as np
+
+    if not zipfile.is_zipfile(path):
+        if not trusted:
+            raise ValueError(
+                f"{path} is a legacy pickle artifact; pickle.load executes "
+                "arbitrary code from the file. Pass trusted=True/--trusted "
+                "only for artifacts you produced yourself, or re-export")
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json"))
+        tree = json.loads(z.read("tree.json"))
+        leaves = [
+            np.frombuffer(z.read(f"leaves/{i}"),
+                          _np_dtype(spec["dtype"])).reshape(spec["shape"])
+            for i, spec in enumerate(tree["leaves"])]
+        params = _skeleton_to_tree(tree["skeleton"], leaves)
+        exported = {n[len("exported/"):]: z.read(n) for n in z.namelist()
+                    if n.startswith("exported/")}
+    return {"exported": exported, "params": params, "meta": meta}
 
 
 def extract_answer_words(words) -> str:
@@ -245,7 +336,12 @@ class ServingModel:
         from jax import export as jexport
 
         self.meta = artifact["meta"]
-        self._params = artifact["params"]
+        # Transfer the param tree to the device ONCE at load. The zip
+        # reader returns host numpy leaves; passing those to the jitted
+        # call would re-upload the full bundle (hundreds of MB at real
+        # dims) on EVERY request — measured on the chip as ~30 s/batch vs
+        # 2.9 ms for the native path (NOTES.md round-4).
+        self._params = jax.device_put(artifact["params"])
         self._fns = {name: jax.jit(jexport.deserialize(blob).call)
                      for name, blob in artifact["exported"].items()}
 
@@ -298,9 +394,8 @@ class ServingModel:
         return [words[int(i)] for i in np.asarray(ans_ids)]
 
 
-def load_artifact(path: str) -> ServingModel:
-    with open(path, "rb") as f:
-        return ServingModel(pickle.load(f))
+def load_artifact(path: str, trusted: bool = False) -> ServingModel:
+    return ServingModel(read_artifact(path, trusted=trusted))
 
 
 def _check_roundtrip(artifact: Dict[str, Any], mcfg) -> None:

@@ -264,31 +264,40 @@ class _Handler(BaseHTTPRequestHandler):
             self._send(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        # Compute the response INSIDE the try, send it AFTER: the error
+        # paths must fire only for service errors, never for socket-write
+        # failures of a successful response (a BrokenPipeError mid-_send
+        # answered with a second _send would corrupt a keep-alive stream).
         try:
             length = int(self.headers.get("Content-Length", 0))
             payload = json.loads(self.rfile.read(length) or b"{}")
             if self.path == "/answer":
-                self._send(200, self.service.answer(payload))
+                code, obj = 200, self.service.answer(payload)
             elif self.path == "/generate":
-                self._send(200, self.service.generate(payload))
+                code, obj = 200, self.service.generate(payload)
             else:
-                self._send(404, {"error": f"unknown path {self.path}"})
+                code, obj = 404, {"error": f"unknown path {self.path}"}
         except (ValueError, KeyError, RuntimeError) as e:
-            self._send(400, {"error": str(e)})
-        except Exception as e:  # noqa: BLE001 — a dropped connection with
+            code, obj = 400, {"error": str(e)}
+        except Exception:  # noqa: BLE001 — a dropped connection with
             # no response (the default for an uncaught handler error) is
-            # strictly worse for the client than a 500 body
-            self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            # strictly worse for the client than a 500 body. The body is
+            # generic: exception reprs can leak paths/internals.
+            import traceback
+            traceback.print_exc()
+            code, obj = 500, {"error": "internal server error"}
+        self._send(code, obj)
 
 
 def make_server(artifact_path: str, host: str = "127.0.0.1", port: int = 0,
-                window_ms: float = 5.0,
-                max_batch: int = 64) -> ThreadingHTTPServer:
+                window_ms: float = 5.0, max_batch: int = 64,
+                trusted: bool = False) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; `.server_address[1]` is
-    the bound port (useful with port=0)."""
+    the bound port (useful with port=0). `trusted` gates loading legacy
+    pickle artifacts (the current format is a no-code-execution zip)."""
     from lctvqa.export import load_artifact
 
-    service = VqaService(load_artifact(artifact_path),
+    service = VqaService(load_artifact(artifact_path, trusted=trusted),
                          window_ms=window_ms, max_batch=max_batch)
     handler = type("Handler", (_Handler,), {"service": service})
     return ThreadingHTTPServer((host, port), handler)
@@ -306,12 +315,17 @@ def main(argv=None):
     p.add_argument("--warmup", action="store_true",
                    help="precompile all batch buckets before accepting "
                         "traffic (slow startup, no first-hit stalls)")
+    p.add_argument("--trusted", action="store_true",
+                   help="allow loading a LEGACY pickle artifact "
+                        "(pickle.load executes code from the file; only "
+                        "for artifacts you produced yourself)")
     args = p.parse_args(argv)
 
     from lctvqa import compile_cache
     compile_cache.enable()
     srv = make_server(args.artifact, args.host, args.port,
-                      args.window_ms, args.max_batch)
+                      args.window_ms, args.max_batch,
+                      trusted=args.trusted)
     host, port = srv.server_address[:2]
     svc: VqaService = srv.RequestHandlerClass.service  # type: ignore
     if args.warmup:

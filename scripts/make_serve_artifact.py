@@ -39,6 +39,17 @@ def main():
         synthetic.make_dataset(synth, num_images=4, num_questions=8,
                                img_size=args.img_size)
         mcfg = ModelConfig(img_size=args.img_size, arch_type="fixed")
+        # Pad the synthetic vocab files out to the model's reference dims
+        # (export.py validates vocab length == head size; for a
+        # shapes-only serving artifact the filler words are inert).
+        for fname, want in (("vocab_questions.txt", mcfg.qst_vocab_size),
+                            ("vocab_answers.txt", mcfg.ans_vocab_size)):
+            path = os.path.join(synth, fname)
+            with open(path) as f:
+                n = sum(1 for _ in f)
+            with open(path, "a") as f:
+                for i in range(want - n):
+                    f.write(f"fillerword{i}\n")
         params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
         artifact = exp_mod.export_state({"w_params": params}, mcfg,
                                         input_dir=synth)

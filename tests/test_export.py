@@ -197,6 +197,59 @@ def test_export_cli_roundtrip(tmp_path, tiny_cfg, synth_dir):
     assert model.meta["lctvqa_version"]
 
 
+def test_artifact_file_is_pickle_free_zip(tmp_path, tiny_cfg):
+    """r3 verdict #8: the artifact file must load with NO code execution.
+    Contract: save_artifact writes a zip (meta.json + tree.json + raw
+    leaf bytes + StableHLO); read_artifact round-trips the params pytree
+    EXACTLY (structure incl. tuple-vs-list, dtypes incl. bfloat16) and
+    the restored artifact still serves."""
+    import zipfile
+
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
+    artifact = exp_mod.export_state({"w_params": params}, mcfg)
+    path = str(tmp_path / "w.lctx")
+    exp_mod.save_artifact(artifact, path)
+    assert zipfile.is_zipfile(path)
+
+    back = exp_mod.read_artifact(path)  # no trusted= needed
+    assert back["meta"] == artifact["meta"]
+    # pytree structure must be IDENTICAL (tuple-vs-list matters to the
+    # traced call signature)
+    assert (jax.tree_util.tree_structure(back["params"])
+            == jax.tree_util.tree_structure(artifact["params"]))
+    for a, b in zip(jax.tree_util.tree_leaves(artifact["params"]),
+                    jax.tree_util.tree_leaves(back["params"])):
+        assert np.asarray(a).dtype == np.asarray(b).dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    model = exp_mod.load_artifact(path)
+    u8, qst = _rand_inputs(mcfg, 2, seed=3)
+    got = np.asarray(model.answer_logits(u8, qst))
+    want = np.asarray(exp_mod.ServingModel(artifact).answer_logits(u8, qst))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_legacy_pickle_artifact_gated_behind_trusted(tmp_path, tiny_cfg):
+    """Legacy pickle artifacts still load, but ONLY with trusted=True
+    (serve CLI --trusted); the default refuses with an explanation."""
+    mcfg = dataclasses.replace(tiny_cfg.model, img_size=32,
+                               arch_type="fixed")
+    params = vqa_w.init_w_model(jax.random.PRNGKey(0), mcfg)
+    artifact = exp_mod.export_state({"w_params": params}, mcfg)
+    path = str(tmp_path / "legacy.lctx")
+    with open(path, "wb") as f:
+        pickle.dump(artifact, f)
+
+    with pytest.raises(ValueError, match="legacy pickle"):
+        exp_mod.read_artifact(path)
+    model = exp_mod.load_artifact(path, trusted=True)
+    u8, qst = _rand_inputs(mcfg, 2, seed=5)
+    assert np.asarray(model.answer_logits(u8, qst)).shape == (
+        2, mcfg.ans_vocab_size)
+
+
 def test_export_rejects_mismatched_vocab_dir(tiny_cfg, synth_dir):
     """Chip-found bug: exporting with an --input_dir whose vocab files
     don't match the checkpoint's head sizes embedded a too-short answer

@@ -176,7 +176,8 @@ def test_unified_generate_endpoint(tmp_path, tiny_cfg, synth_dir):
 def test_unexpected_handler_error_gets_500_not_dropped(w_server):
     """Chip-found bug: an exception class do_POST didn't catch closed the
     connection with NO response (client sees RemoteDisconnected). Any
-    unexpected error must come back as a 500 JSON body."""
+    unexpected error must come back as a 500 JSON body — and the body
+    must be generic (exception reprs can leak paths/internals)."""
     srv, _, _ = w_server
     port = srv.server_address[1]
     svc = srv.RequestHandlerClass.service
@@ -185,6 +186,8 @@ def test_unexpected_handler_error_gets_500_not_dropped(w_server):
         IndexError("list index out of range"))
     try:
         status, out = _post(port, "/answer", {"question": "x"})
-        assert status == 500 and "IndexError" in out["error"]
+        assert status == 500
+        assert out["error"] == "internal server error"
+        assert "IndexError" not in out["error"]
     finally:
         svc.answer = orig
