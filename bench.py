@@ -174,10 +174,19 @@ def tpu_pairs_per_sec(iters: int = 30) -> float:
 
 def int8_pairs_per_sec(iters: int = 30, batch: int | None = None) -> dict:
     """Opt-in int8 serving path (lctvqa/quant.py): throughput at the
-    serving batch + argmax answer agreement vs the bf16 forward. v5e
-    executes int8 matmuls at 2x the bf16 MXU rate, so this is the
-    serving headroom beyond the parity path; reported alongside, never
-    AS, the headline (the headline stays the parity-path number)."""
+    serving batch + argmax answer agreement vs the bf16 forward.
+
+    Measured reality (chip A/B, scripts/bench_int8.py): int8 is ~12%
+    SLOWER than bf16 at these shapes — XLA:TPU does not lower these
+    s8xs8 convs to the MXU double-rate mode; int8's value is the 4x
+    weight-memory cut, not throughput. BENCH_r03 recorded int8 44%
+    slower because this section's int8 number was compared against a
+    bf16 number from a DIFFERENT subprocess (different tunnel state) —
+    so since r4 the bf16 forward is re-timed HERE, in the same process
+    right before the int8 loop, and the in-situ ratio is reported
+    (int8_vs_bf16_same_process). That ratio is the reconciled number;
+    cross-section comparisons are not apples-to-apples on a tunneled
+    chip. Reported alongside, never AS, the headline."""
     import jax
     import jax.numpy as jnp
 
@@ -209,15 +218,23 @@ def int8_pairs_per_sec(iters: int = 30, batch: int | None = None) -> dict:
     qst = jnp.asarray(rng.randint(0, QVOCAB, (batch, QLEN)).astype(np.int32))
     agree = float(jnp.mean(jnp.argmax(step_int8(qparams, u8, qst), 1)
                            == jnp.argmax(step_ref(params, u8, qst), 1)))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = step_int8(qparams, u8, qst)
-    float(out[0, 0])
-    dt = time.perf_counter() - t0
-    return {"int8_pairs_per_sec": round(batch * iters / dt, 2),
+    pps = {}
+    for tag, fn, p in (("bf16", step_ref, params),
+                       ("int8", step_int8, qparams)):
+        float(fn(p, u8, qst)[0, 0])  # warm (compiled during agree above)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(p, u8, qst)
+        float(out[0, 0])
+        dt = time.perf_counter() - t0
+        pps[tag] = batch * iters / dt
+    return {"int8_pairs_per_sec": round(pps["int8"], 2),
             "int8_batch": batch,
-            "int8_answer_agreement": round(agree, 4)}
+            "int8_answer_agreement": round(agree, 4),
+            "bf16_pairs_per_sec_int8_process": round(pps["bf16"], 2),
+            "int8_vs_bf16_same_process": round(pps["int8"] / pps["bf16"],
+                                               4)}
 
 
 def train_pairs_per_sec(iters: int = 30) -> dict:
@@ -286,52 +303,6 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
     train_pps_chip = BATCH * iters / dt
     ef_params = ef_p  # for the generate bench below
 
-
-    # SECONDARY: the Experiment loop's own execution shape — ONE jitted
-    # stage1+stage2 program over PACKED param/opt buffers with donation
-    # (ops/packing.py; the darts pytrees have ~1200 leaves and per-call
-    # dispatch grows with buffer count). Donation serializes each
-    # dispatch on the previous step's output handles, so on the axon
-    # tunnel this number includes one host<->device RTT per step — a
-    # conservative lower bound for remote dispatch, reported as
-    # train_pairs_per_sec_dispatch. This big single program is also the
-    # one the remote compile helper occasionally SIGKILLs (host-memory
-    # flake), so it runs LAST and is optional: on failure the headline
-    # train numbers above are already in hand.
-    train_pps = None
-    try:
-        from lctvqa.ops.packing import Packer, pack_step
-
-        p_ef, p_efo = Packer(ef_params), Packer(ef_opt)
-        p_w, p_wo = Packer(w_params), Packer(w_opt)
-
-        def combined(ef_p, ef_o, w_p, w_o, arch, batch, rng):
-            r1, r2 = jax.random.split(rng)
-            ef_p, ef_o, loss1, _, _ = steps["stage1"](ef_p, arch, ef_o,
-                                                      batch, r1)
-            w_p, w_o, loss2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
-                                                 batch, r2)
-            return ef_p, ef_o, w_p, w_o, loss2
-
-        train_step = pack_step(combined,
-                               (p_ef, p_efo, p_w, p_wo, None, None, None),
-                               (p_ef, p_efo, p_w, p_wo, None))
-        ef_pk, ef_opk = p_ef.pack(ef_params), p_efo.pack(ef_opt)
-        w_pk, w_opk = p_w.pack(w_params), p_wo.pack(w_opt)
-        ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
-            ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
-        float(loss2)                               # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
-                ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
-        float(loss2)
-        dt = time.perf_counter() - t0
-        train_pps = BATCH * iters / dt
-    except Exception as e:  # noqa: BLE001 — remote-compile flake
-        print(f"# packed-dispatch train variant failed: {e!r}",
-              flush=True)
-
     gen = jax.jit(lambda p, a, u8: vqa_ef.ef_generate(
         p, a, cfg.model,
         (u8.astype(jnp.float32) / 255.0 - 0.45) / 0.225,
@@ -345,9 +316,77 @@ def train_pairs_per_sec(iters: int = 30) -> dict:
     dt = time.perf_counter() - t0
     gen_tokens = BATCH * QLEN * iters / dt
     return {"lct_train_pairs_per_sec": round(train_pps_chip, 2),
-            "lct_train_pairs_per_sec_dispatch": (
-                round(train_pps, 2) if train_pps is not None else None),
             "generate_tokens_per_sec": round(gen_tokens, 2)}
+
+
+def dispatch_pairs_per_sec(iters: int = 30) -> dict:
+    """The Experiment loop's own execution shape — ONE jitted
+    stage1+stage2 program over PACKED param/opt buffers with donation
+    (ops/packing.py; the darts pytrees have ~1200 leaves and per-call
+    dispatch grows with buffer count). Donation serializes each dispatch
+    on the previous step's output handles, so on the axon tunnel this
+    number includes one host<->device RTT per step — a conservative lower
+    bound for remote dispatch, reported as train_pairs_per_sec_dispatch.
+    Its big single program is the one the remote compile helper
+    occasionally SIGKILLs, so it runs as its OWN retried subprocess
+    section (r3 verdict #5: the in-process no-retry variant nulled the
+    field on a single flake)."""
+    import jax
+
+    from lctvqa.config import Config, ModelConfig, TrainConfig
+    from lctvqa.models import vqa_ef, vqa_w
+    from lctvqa.ops.packing import Packer, pack_step
+    from lctvqa.train.steps import make_lct_steps
+
+    cfg = Config(model=ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
+                                   ans_vocab_size=AVOCAB,
+                                   arch_type="darts",
+                                   compute_dtype="bfloat16"),
+                 train=TrainConfig(batch_size=BATCH))
+    key = jax.random.PRNGKey(0)
+    ef_params, arch = vqa_ef.init_ef_model(key, cfg.model)
+    w_params = vqa_w.init_w_model(jax.random.PRNGKey(1), cfg.model)
+    steps = make_lct_steps(cfg, unk_idx=1)
+    ef_opt = steps["ef_tx"].init(ef_params)
+    w_opt = steps["w_tx"].init(w_params)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image_u8": jax.device_put(rng.randint(
+            0, 256, (BATCH, IMG, IMG, 3), dtype=np.uint8)),
+        "question": jax.device_put(rng.randint(
+            0, QVOCAB, (BATCH, 25)).astype(np.int32)),
+        "answer_label": jax.device_put(rng.randint(
+            0, AVOCAB, (BATCH,)).astype(np.int32)),
+        "answer_multi_choice": jax.device_put(rng.randint(
+            -1, AVOCAB, (BATCH, 10)).astype(np.int32)),
+    }
+    p_ef, p_efo = Packer(ef_params), Packer(ef_opt)
+    p_w, p_wo = Packer(w_params), Packer(w_opt)
+
+    def combined(ef_p, ef_o, w_p, w_o, arch, batch, rng):
+        r1, r2 = jax.random.split(rng)
+        ef_p, ef_o, loss1, _, _ = steps["stage1"](ef_p, arch, ef_o,
+                                                  batch, r1)
+        w_p, w_o, loss2, _ = steps["stage2"](w_p, w_o, ef_p, arch,
+                                             batch, r2)
+        return ef_p, ef_o, w_p, w_o, loss2
+
+    train_step = pack_step(combined,
+                           (p_ef, p_efo, p_w, p_wo, None, None, None),
+                           (p_ef, p_efo, p_w, p_wo, None))
+    ef_pk, ef_opk = p_ef.pack(ef_params), p_efo.pack(ef_opt)
+    w_pk, w_opk = p_w.pack(w_params), p_wo.pack(w_opt)
+    ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
+        ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
+    float(loss2)                               # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ef_pk, ef_opk, w_pk, w_opk, loss2 = train_step(
+            ef_pk, ef_opk, w_pk, w_opk, arch, batch, key)
+    float(loss2)
+    dt = time.perf_counter() - t0
+    return {"lct_train_pairs_per_sec_dispatch": round(BATCH * iters / dt,
+                                                      2)}
 
 
 def _mfu_numbers(infer_pps: float, train_pps: float,
@@ -438,7 +477,7 @@ def main():
     p.add_argument("--skip_train", action="store_true",
                    help="headline inference number only (fast)")
     p.add_argument("--section", type=str, default=None,
-                   choices=("infer", "int8", "train"),
+                   choices=("infer", "int8", "train", "dispatch"),
                    help="internal: run ONE section in this process and "
                         "print its JSON (used by the subprocess driver)")
     p.add_argument("--in_process", action="store_true",
@@ -454,6 +493,9 @@ def main():
         return
     if args.section == "train":
         print(json.dumps(train_pairs_per_sec(args.train_iters)))
+        return
+    if args.section == "dispatch":
+        print(json.dumps(dispatch_pairs_per_sec(args.train_iters)))
         return
     if not _tpu_reachable():
         out = {
@@ -509,6 +551,7 @@ def main():
         # never allowed to cost the headline
         print(f"# int8 section failed: {e!r}", flush=True)
         result["int8_error"] = str(e)[:200]
+        result["int8_pairs_per_sec"] = None  # retried by the final pass
     if not args.skip_train:
         try:
             details = (train_pairs_per_sec(args.train_iters)
@@ -522,13 +565,23 @@ def main():
             print(json.dumps(result))
             return
         # headline train number = the chained pure-chip variant; the
-        # per-step-dispatch (tunnel-RTT-bound) number is reported
-        # alongside for the reconciliation record (NOTES.md)
+        # per-step-dispatch (tunnel-RTT-bound) number — its OWN retried
+        # section since r4 (verdict #5) — is reported alongside for the
+        # reconciliation record (NOTES.md)
         result["train_pairs_per_sec"] = details["lct_train_pairs_per_sec"]
-        result["train_pairs_per_sec_dispatch"] = \
-            details["lct_train_pairs_per_sec_dispatch"]
         result["generate_tokens_per_sec"] = \
             details["generate_tokens_per_sec"]
+        try:
+            disp = (dispatch_pairs_per_sec(args.train_iters)
+                    if args.in_process else
+                    _run_section("dispatch",
+                                 ["--train_iters", args.train_iters]))
+            details.update(disp)
+        except Exception as e:  # noqa: BLE001
+            print(f"# dispatch section failed: {e!r}", flush=True)
+            details["lct_train_pairs_per_sec_dispatch"] = None
+        result["train_pairs_per_sec_dispatch"] = \
+            details["lct_train_pairs_per_sec_dispatch"]
         result.update(_mfu_numbers(value,
                                    details["lct_train_pairs_per_sec"],
                                    details["generate_tokens_per_sec"]))
@@ -538,6 +591,25 @@ def main():
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_details.json"), "w") as f:
             json.dump(details, f)
+    # Last-chance pass (r3 verdict #10): a single tunnel SIGKILL must not
+    # null a headline field — any null that a one-shot section re-run can
+    # fill gets one more attempt here.
+    if not args.in_process:
+        retries = {
+            "int8_pairs_per_sec": ("int8", ["--iters", args.iters]),
+            "train_pairs_per_sec_dispatch": (
+                "dispatch", ["--train_iters", args.train_iters]),
+        }
+        for field, (sec, extra) in retries.items():
+            if field in result and result.get(field) is None:
+                try:
+                    sec_out = _run_section(sec, extra)
+                    for k, v in sec_out.items():
+                        result[k.replace("lct_train", "train")
+                               if k.startswith("lct_train") else k] = v
+                except Exception as e:  # noqa: BLE001
+                    print(f"# retry of section {sec} failed: {e!r}",
+                          flush=True)
     print(json.dumps(result))
 
 

@@ -1,10 +1,15 @@
 """Post-training int8 quantization for the serving paths.
 
-TPU v5e executes int8 x int8 -> int32 on the MXU at twice the bf16 rate
-(394 vs 197 TOPS), so the dense compute of a serving forward — conv
-trunks (VGG19 or a derived/searched cell stack) plus the classifier and
-fusion linears, >95% of forward FLOPs — can run int8 where the bf16
-path is MXU-bound. Scheme:
+What int8 buys here, per chip measurement (scripts/bench_int8.py,
+NOTES.md round-3): a 4x cut in weight memory/artifact size (575 MB
+fp32 -> ~144 MB) at 100% answer agreement — NOT throughput. The v5e
+MXU's nominal 2x int8 rate (394 vs 197 TOPS) did not materialize
+through XLA at these shapes: the s8xs8 convs lower to a path measured
+~12% SLOWER than bf16 (37.8k vs 43.1k pairs/s at batch 1024), the
+dynamic-activation quantize/dequantize passes cost HBM bandwidth, and
+the conv shapes (64px, <=512 ch) leave the MXU underfed either way.
+int8 therefore stays an OPT-IN for memory-constrained serving (more
+params per chip, smaller artifacts), never the default. Scheme:
 
   - weights: symmetric per-output-channel int8, scales computed once at
     quantization time (static; `ops/conv.quantize_weight`);

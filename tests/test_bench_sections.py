@@ -28,10 +28,17 @@ def bench_tiny(monkeypatch):
 
 def test_int8_section(bench_tiny):
     out = bench_tiny.int8_pairs_per_sec(iters=2, batch=8)
+    # r4: bf16 re-timed in the SAME process so the int8-vs-bf16 ratio is
+    # apples-to-apples (r3 verdict #2 — the cross-subprocess comparison
+    # disagreed with the standalone A/B by 36%)
     assert set(out) == {"int8_pairs_per_sec", "int8_batch",
-                        "int8_answer_agreement"}
+                        "int8_answer_agreement",
+                        "bf16_pairs_per_sec_int8_process",
+                        "int8_vs_bf16_same_process"}
     assert out["int8_batch"] == 8
     assert np.isfinite(out["int8_pairs_per_sec"])
+    assert np.isfinite(out["bf16_pairs_per_sec_int8_process"])
+    assert out["int8_vs_bf16_same_process"] > 0
     assert 0.0 <= out["int8_answer_agreement"] <= 1.0
 
 

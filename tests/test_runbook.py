@@ -57,7 +57,7 @@ def test_parity_runbook_full_chain(tmp_path, monkeypatch):
                 "--input_dir", str(out), "--exp", "runbook", "--tiny",
                 "--img_size", "32", "--batch_size", "8",
                 "--num_epochs", "1", "--arch_update_freq", "4",
-                "--compute_dtype", "float32"])
+                "--compute_dtype", "float32", "--bn_eval_stats"])
     exp_dir = tmp_path / "experiment_data" / "runbook"
     assert os.path.exists(exp_dir / "ef_model.ckpt")
     assert os.path.exists(exp_dir / "w_model.ckpt")
