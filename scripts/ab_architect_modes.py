@@ -109,9 +109,8 @@ def alpha_mass(arch, which="alphas_normal"):
 
 
 def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10,
-             arch_lr: float = 6e-3):
-    import dataclasses
-
+             arch_lr: float = 6e-3, arch_wd: float = 1e-3,
+             layers: int = 3):
     import jax
 
     from lctvqa.config import (Config, DataConfig, MeshConfig, ModelConfig,
@@ -126,20 +125,27 @@ def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10,
         img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
         max_qst_len=6, qst_vocab_size=qv.vocab_size,
         ans_vocab_size=av.vocab_size, img_size=32, darts_init_ch=4,
-        darts_layers=1, darts_steps=2, darts_multiplier=2,
+        # layers=3 so the NORMAL alphas are live (with layers=1 the lone
+        # cell is a reduction cell and alphas_normal has zero gradient by
+        # construction — the grad probe's note below)
+        darts_layers=layers, darts_steps=2, darts_multiplier=2,
         compute_dtype="float32", vgg_width_mult=1 / 16, vgg_fc_dim=32)
     cfg = Config(
         model=model,
         train=TrainConfig(batch_size=16, num_epochs=1, arch_update_freq=1,
                           skip_stage2=False, skip_stage3=False,
                           report_freq=1000, architect_mode=mode, seed=seed,
-                          # 10x the reference arch lr: a 48-update probe
+                          # 10x+ the reference arch lr: a 48-update probe
                           # at 6e-4 moves group alpha-mass by <5e-5 (raw
                           # |d alpha| ~2e-3 but direction-canceling), so
                           # the planted-op question needs a lr/steps
                           # combination whose max logit travel (~steps *
-                          # lr) is O(1)
-                          arch_learning_rate=arch_lr),
+                          # lr) is O(1). arch_wd=0 leaves the recovery
+                          # regime visible: at the reference's 1e-3 the
+                          # decay pull back to uniform dominates the
+                          # tri-level gradient at probe scale (r3 NOTES).
+                          arch_learning_rate=arch_lr,
+                          arch_weight_decay=arch_wd),
         data=DataConfig(input_dir=data_dir),
         mesh=MeshConfig(num_devices=1),
         exp_name=f"ab_{mode}",
@@ -149,18 +155,24 @@ def run_mode(mode: str, data_dir: str, steps: int, seed: int = 10,
     t0 = time.time()
     epochs = max(1, steps // max(len(exp.data["train"]) //
                                  cfg.train.batch_size, 1))
-    s3_losses = []
+    traj = []
     for _ in range(epochs):
         exp.train_epoch()
+        c, p = alpha_mass(exp.arch)
+        traj.append(round(c - p, 4))
     conv1, pool1 = alpha_mass(exp.arch)
     geno = search.genotype(exp.arch, model.darts_steps,
                            model.darts_multiplier)
     n_pool = sum(1 for op, _ in geno.normal if op in POOLS)
     return {
         "mode": mode,
+        "seed": seed,
+        "arch_lr": arch_lr,
+        "arch_wd": arch_wd,
         "epochs": epochs,
         "conv_mass_delta": round(conv1 - conv0, 4),
         "pool_mass_delta": round(pool1 - pool0, 4),
+        "margin_trajectory": traj,  # (conv+skip mass − pool mass) / epoch
         "pool_ops_in_genotype": n_pool,
         "genotype_normal": [op for op, _ in geno.normal],
         "final_train_ef_acc": round(exp.train_ef_acc[-1], 4),
@@ -283,7 +295,13 @@ def main():
     p.add_argument("--modes", type=str,
                    default="exact,exact-indirect,fd")
     p.add_argument("--arch_lr", type=float, default=6e-3)
+    p.add_argument("--arch_wd", type=float, default=1e-3)
+    p.add_argument("--seeds", type=str, default="10",
+                   help="comma list; each (mode, seed) runs its own "
+                        "trajectory (r3 verdict #3: >=3 seeds)")
     p.add_argument("--data_dir", type=str, default="")
+    p.add_argument("--out_json", type=str, default="",
+                   help="append one JSON line per run to this file")
     p.add_argument("--grad_probe", action="store_true",
                    help="paired raw-gradient A/B on a common trajectory "
                         "instead of the outcome probe")
@@ -297,14 +315,20 @@ def main():
         run_grad_probe(data_dir, epochs=args.probe_epochs)
         return
     rows = []
-    for mode in args.modes.split(","):
-        r = run_mode(mode, data_dir, args.steps, arch_lr=args.arch_lr)
-        rows.append(r)
-        print(json.dumps(r))
-    print("\nmode             d(conv+skip)  d(pool)  pools-in-geno  "
-          "ef_acc  wall_s")
+    for seed in (int(s) for s in args.seeds.split(",")):
+        for mode in args.modes.split(","):
+            r = run_mode(mode, data_dir, args.steps, seed=seed,
+                         arch_lr=args.arch_lr, arch_wd=args.arch_wd)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+            if args.out_json:
+                with open(args.out_json, "a") as f:
+                    f.write(json.dumps(r) + "\n")
+    print("\nmode             seed  d(conv+skip)  d(pool)  pools-in-geno"
+          "  ef_acc  wall_s")
     for r in rows:
-        print(f"{r['mode']:16s} {r['conv_mass_delta']:+.4f}      "
+        print(f"{r['mode']:16s} {r['seed']:<5d} "
+              f"{r['conv_mass_delta']:+.4f}      "
               f"{r['pool_mass_delta']:+.4f}  {r['pool_ops_in_genotype']}"
               f"              {r['final_train_ef_acc']:.3f}  "
               f"{r['wall_s']}")
