@@ -24,8 +24,13 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_images", type=int, default=64)
     p.add_argument("--num_questions", type=int, default=256)
+    p.add_argument("--num_epochs", type=int, default=1,
+                   help="r3 verdict #9: epoch 1 is compile-dominated; "
+                        "run >=2 and read the LAST epoch's wall for the "
+                        "warm steady-state ms/step")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--skip_stage3", action="store_true")
+    p.add_argument("--skip_val", action="store_true")
     args = p.parse_args()
 
     from lctvqa import compile_cache
@@ -72,9 +77,17 @@ def main():
     assert isinstance(exp.data["train"], VqaH5Dataset)
     assert not isinstance(exp.data["train"].images, np.ndarray), \
         "lazy mode expected (images must stay an h5 dataset)"
-    exp.train_epoch()
-    exp.val()
+    steps_per_epoch = max(len(exp.data["train"]) // args.batch_size, 1)
+    epoch_walls = []
+    for _ in range(args.num_epochs):
+        te = time.time()
+        exp.train_epoch()
+        epoch_walls.append(round(time.time() - te, 1))
+    if not args.skip_val:
+        exp.val()
     wall = time.time() - t0
+    warm_ms_per_step = (epoch_walls[-1] * 1e3 / steps_per_epoch
+                        if len(epoch_walls) > 1 else None)
     dev = jax.devices()[0]
     stats = {}
     try:
@@ -90,6 +103,10 @@ def main():
         "train_ef_loss": exp.train_ef_loss,
         "val_ef_loss": exp.val_ef_loss,
         "wall_s_total": round(wall, 1),
+        "epoch_walls_s": epoch_walls,
+        "steps_per_epoch": steps_per_epoch,
+        "warm_ms_per_step": (round(warm_ms_per_step, 1)
+                             if warm_ms_per_step else None),
         "hbm": stats,
     }))
 

@@ -102,6 +102,56 @@ def test_tp_grads_match_single_device():
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_stage3_tp_sharded_w_matches_single_device():
+    """Tri-level stage-3 on the 2-D (data x model) mesh with W's fc6/fc7
+    megatron-split (r3 verdict #7: the model axis applied to the program
+    that actually exhausts HBM — stage-3's W-unroll). The arch update
+    must equal single-device bit-for-tolerance; the capacity claim at
+    224px is scripts/dryrun_224px_sharded.py's memory_analysis."""
+    from lctvqa.config import Config, TrainConfig
+    from lctvqa.models import vqa_ef
+    from lctvqa.train.steps import make_lct_steps
+
+    model = ModelConfig(
+        img_embed_size=16, word_embed_size=8, lstm_hidden_size=16,
+        max_qst_len=6, qst_vocab_size=32, ans_vocab_size=16, img_size=32,
+        darts_init_ch=4, darts_layers=1, darts_steps=2,
+        darts_multiplier=2, compute_dtype="float32",
+        vgg_width_mult=1 / 16, vgg_fc_dim=32)
+    cfg = Config(model=model, train=TrainConfig(batch_size=8))
+    rng = np.random.RandomState(3)
+    batch = {
+        "image_u8": rng.randint(0, 256, (8, 32, 32, 3), dtype=np.uint8),
+        "question": rng.randint(0, 32, (8, 6)).astype(np.int32),
+        "answer_label": rng.randint(0, 16, (8,)).astype(np.int32),
+        "answer_multi_choice": rng.randint(-1, 16, (8, 10)).astype(
+            np.int32),
+    }
+    ef_params, arch = vqa_ef.init_ef_model(jax.random.PRNGKey(5), model)
+    w_params = vqa_w.init_w_model(jax.random.PRNGKey(6), model)
+    steps = make_lct_steps(cfg, unk_idx=1)
+    arch_opt = steps["arch_tx"].init(arch)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    lr = jnp.float32(1e-3)
+
+    a1, _, v1 = steps["stage3"](arch, arch_opt, ef_params, w_params,
+                                jb, jb, lr, lr, jax.random.PRNGKey(11))
+
+    mesh = tp.make_mesh_2d(4, 2)
+    rep = tp.replicated(mesh)
+    bs = tp.batch_sharding(mesh)
+    sb = {k: jax.device_put(v, bs) for k, v in batch.items()}
+    a2, _, v2 = steps["stage3"](
+        jax.device_put(arch, rep), jax.device_put(arch_opt, rep),
+        jax.device_put(ef_params, rep), tp.shard_params(w_params, mesh),
+        sb, sb, lr, lr, jax.random.PRNGKey(11))
+
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for k in arch:
+        np.testing.assert_allclose(np.asarray(a1[k]), np.asarray(a2[k]),
+                                   rtol=2e-4, atol=1e-6)
+
+
 def test_tp_int8_serving_matches_single_device():
     """The quantized tree (w_q/w_s leaves) shards under the same rules."""
     from lctvqa import quant
