@@ -17,6 +17,7 @@ Prints one table row per window plus a JSON line for machine parsing.
 from __future__ import annotations
 
 import argparse
+import base64
 import json
 import threading
 import time
@@ -47,21 +48,41 @@ def run_one(artifact: str, window_ms: float, clients: int, requests: int,
         port = srv.server_address[1]
         s = svc.meta["img_size"]
         rng = np.random.default_rng(0)
-        img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8).tolist()
-        payload = {"image": img, "question": "what color is the ball"}
+        # image_b64, not a nested JSON int list: at 224px the list is
+        # ~150k Python ints whose encode/decode dominates a single-core
+        # host and turns the bench into a JSON benchmark (measured r4:
+        # 0.7 req/s with lists vs the b64 numbers in NOTES.md)
+        img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
+        payload = {"image_b64": base64.b64encode(img.tobytes()).decode(),
+                   "image_shape": list(img.shape),
+                   "question": "what color is the ball"}
 
         lat: list = []
         lock = threading.Lock()
 
-        def client():
-            for _ in range(requests):
+        def client(n, record=True):
+            for _ in range(n):
                 t0 = time.perf_counter()
                 _post(port, payload)
                 dt = time.perf_counter() - t0
-                with lock:
-                    lat.append(dt)
+                if record:
+                    with lock:
+                        lat.append(dt)
 
-        threads = [threading.Thread(target=client) for _ in range(clients)]
+        # untimed warm-in lap: the first dispatch after server start pays
+        # one-time costs (PIL import, tunnel stream drain behind the
+        # unsynced warmup executions) that would otherwise put a ~10 s
+        # outlier in p99 of a closed-loop run
+        warm = [threading.Thread(target=client, args=(2, False))
+                for _ in range(clients)]
+        for t in warm:
+            t.start()
+        for t in warm:
+            t.join()
+        svc.batcher.batch_sizes.clear()
+
+        threads = [threading.Thread(target=client, args=(requests,))
+                   for _ in range(clients)]
         t0 = time.perf_counter()
         for t in threads:
             t.start()
