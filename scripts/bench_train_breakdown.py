@@ -12,6 +12,7 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site \
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -19,6 +20,14 @@ import numpy as np
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--img_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--iters", type=int, default=16)
+    p.add_argument("--remat_cells", action="store_true",
+                   help="match run_224px.py's memory-saving config")
+    args = p.parse_args()
+
     from lctvqa import compile_cache
     compile_cache.enable()
     import jax
@@ -28,7 +37,8 @@ def main():
     from lctvqa.models import vqa_ef, vqa_w
     from lctvqa.train.steps import make_lct_steps
 
-    BATCH, IMG, QVOCAB, AVOCAB, QLEN = 64, 64, 8192, 1000, 25
+    BATCH, IMG, QVOCAB, AVOCAB, QLEN = (args.batch_size, args.img_size,
+                                        8192, 1000, 25)
     rng = np.random.RandomState(0)
     batch = {
         "image_u8": jnp.asarray(rng.randint(0, 255, (BATCH, IMG, IMG, 3),
@@ -42,7 +52,8 @@ def main():
     }
     cfg = Config(model=ModelConfig(img_size=IMG, qst_vocab_size=QVOCAB,
                                    ans_vocab_size=AVOCAB,
-                                   arch_type="darts"),
+                                   arch_type="darts",
+                                   remat_cells=args.remat_cells),
                  train=TrainConfig(batch_size=BATCH),
                  mesh=MeshConfig(num_devices=1))
     steps = make_lct_steps(cfg, unk_idx=1)
@@ -51,8 +62,8 @@ def main():
     w_params = vqa_w.init_w_model(k2, cfg.model)
     ef_opt = steps["ef_tx"].init(ef_params)
     w_opt = steps["w_tx"].init(w_params)
-    keys = [jax.random.PRNGKey(10 + i) for i in range(40)]
-    K = 16
+    keys = [jax.random.PRNGKey(10 + i) for i in range(max(40, args.iters))]
+    K = args.iters
     results = {}
 
     def timed(tag, chain, readback):

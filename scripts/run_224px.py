@@ -31,6 +31,14 @@ def main():
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--skip_stage3", action="store_true")
     p.add_argument("--skip_val", action="store_true")
+    p.add_argument("--report_freq", type=int, default=1,
+                   help="report_freq=1 forces a loss readback (device "
+                        "sync) every step; a large value leaves the "
+                        "epoch async-dispatched so the wall isolates "
+                        "device exec + input from per-step sync. The "
+                        "compiled programs are identical either way "
+                        "(host-side logging only), so flipping this "
+                        "hits the persistent compile cache.")
     args = p.parse_args()
 
     from lctvqa import compile_cache
@@ -64,7 +72,8 @@ def main():
         train=TrainConfig(batch_size=args.batch_size, num_epochs=1,
                           arch_update_freq=2000,
                           skip_stage2=False,
-                          skip_stage3=args.skip_stage3, report_freq=1),
+                          skip_stage3=args.skip_stage3,
+                          report_freq=args.report_freq),
         data=DataConfig(input_dir=data_dir, preload_images="lazy"),
         mesh=MeshConfig(num_devices=1),
         exp_name="run224",
