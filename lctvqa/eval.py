@@ -35,6 +35,9 @@ def main(argv=None):
                         "(data x model) mesh with the VGG classifier "
                         "megatron-split (parallel/tp.py); device_count "
                         "must be divisible by TP")
+    p.add_argument("--trusted", action="store_true",
+                   help="allow loading LEGACY pickle checkpoints "
+                        "(pickle.load executes code from the file)")
     args = p.parse_args(argv)
 
     import jax
@@ -52,7 +55,8 @@ def main(argv=None):
     av = VocabDict(os.path.join(args.input_dir, "vocab_answers.txt"))
 
     exp_dir = os.path.join(args.root_stats_dir, args.exp)
-    state = checkpoint.load_state(os.path.join(exp_dir, "ef_model.ckpt"))
+    state = checkpoint.load_state(os.path.join(exp_dir, "ef_model.ckpt"),
+                                  trusted=args.trusted)
     ef_params, arch = state["ef_params"], state["arch"]
     if state.get("config") is not None:
         # checkpoints are self-describing: rebuild the exact model config

@@ -7,7 +7,7 @@ model is exported with `jax.export` into a serialized-StableHLO artifact
 that is loaded and served WITHOUT any model-building code, on the same
 or a different host/accelerator than the one it was exported from.
 
-Artifact = one pickle file holding
+Artifact = one ZIP file (no pickle — see save_artifact) holding
 
     {"exported": {fn_name: stablehlo_bytes},
      "params":   host-numpy param pytree (the call-time argument),
@@ -450,19 +450,24 @@ def main(argv=None):
     p.add_argument("--check", action="store_true",
                    help="after exporting, reload the artifact and verify "
                         "logits parity vs the direct model")
+    p.add_argument("--trusted", action="store_true",
+                   help="allow loading LEGACY pickle checkpoints "
+                        "(pickle.load executes code from the file; only "
+                        "for checkpoints you produced yourself)")
     args = p.parse_args(argv)
 
     from lctvqa.train import checkpoint
 
     exp_dir = os.path.join(args.root_stats_dir, args.exp)
     ckpt = os.path.join(exp_dir, f"{args.model}_model.ckpt")
-    state = checkpoint.load_state(ckpt)
+    state = checkpoint.load_state(ckpt, trusted=args.trusted)
     if args.model == "vqa":
         # darts/unified family: arch params ride in a sibling checkpoint
         # (experiment_darts.save_model, after darts_vqa's arch_par.pt)
         ap = os.path.join(exp_dir, "arch_par.ckpt")
         if checkpoint.exists(ap):
-            state = dict(state, arch=checkpoint.load_state(ap)["arch"])
+            state = dict(state, arch=checkpoint.load_state(
+                ap, trusted=args.trusted)["arch"])
     if state.get("config") is None:
         raise SystemExit(f"{ckpt} has no embedded config (legacy artifact); "
                          "re-save with a current lctvqa")

@@ -32,14 +32,14 @@ def parse_genotype_repr(text: str) -> Genotype:
     return g
 
 
-def genotype_from_checkpoint(path: str) -> Genotype:
+def genotype_from_checkpoint(path: str, trusted: bool = False) -> Genotype:
     """Decode the arch params stored in a search checkpoint
     (``ef_model.ckpt`` from the LCT family or ``arch_par.ckpt`` /
     ``vqa_model.ckpt``-adjacent from the darts family)."""
     from lctvqa.models import search
     from lctvqa.train import checkpoint
 
-    state = checkpoint.load_state(path)
+    state = checkpoint.load_state(path, trusted=trusted)
     if not isinstance(state, dict) or "arch" not in state \
             or state["arch"] is None:
         raise ValueError(f"{path} holds no arch parameters (fixed-arch or "
@@ -77,8 +77,11 @@ def main(argv=None):
     p.add_argument("-o", "--out", default="",
                    help="also write the repr to this file (usable later "
                         "via --genotype <file>)")
+    p.add_argument("--trusted", action="store_true",
+                   help="allow loading LEGACY pickle checkpoints "
+                        "(pickle.load executes code from the file)")
     args = p.parse_args(argv)
-    g = genotype_from_checkpoint(args.checkpoint)
+    g = genotype_from_checkpoint(args.checkpoint, trusted=args.trusted)
     print(repr(g))
     if args.out:
         with open(args.out, "w") as f:

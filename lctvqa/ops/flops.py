@@ -102,6 +102,42 @@ def darts_fwd_flops(cfg: ModelConfig, n: int) -> float:
     return total
 
 
+def derived_fwd_flops(cfg: ModelConfig, n: int) -> float:
+    """Derived-genotype network forward (models/derived.py): stem +
+    per-cell preprocess 1x1s + the 2 CHOSEN ops per node at FULL channels
+    (no 1/k partial slice, no 8-way mixture) + the adaptive-pool matmuls.
+    """
+    from lctvqa.models.derived import _gene, derived_cell_schedule
+
+    geno = cfg.genotype
+    img = cfg.img_size
+    total = conv_flops(n, img, img, 3,
+                       cfg.darts_stem_multiplier * cfg.darts_init_ch, 3, 3)
+    hw = img
+    sched = derived_cell_schedule(cfg, geno)
+    for spec in sched:
+        c = spec["c"]
+        in_hw = hw
+        out_hw = hw // 2 if spec["reduction"] else hw
+        if spec["reduction_prev"]:
+            total += 2 * conv_flops(n, in_hw, in_hw,
+                                    spec["c_pp"], c // 2, 1, 1)
+        else:
+            total += conv_flops(n, in_hw, in_hw, spec["c_pp"], c, 1, 1)
+        total += conv_flops(n, in_hw, in_hw, spec["c_p"], c, 1, 1)
+        gene, _concat = _gene(geno, spec["reduction"])
+        for prim, j in gene:
+            stride = 2 if spec["reduction"] and j < 2 else 1
+            edge_hw = in_hw if stride == 2 else out_hw
+            total += _op_flops(prim, n, edge_hw, c, stride)
+        hw = out_hw
+    _gene_last, concat = _gene(geno, sched[-1]["reduction"])
+    c_prev = len(concat) * sched[-1]["c"]
+    total += 2.0 * n * OUTPUT_SIZE * hw * hw * c_prev
+    total += 2.0 * n * OUTPUT_SIZE * OUTPUT_SIZE * hw * c_prev
+    return total
+
+
 def w_fwd_flops(cfg: ModelConfig, n: int) -> float:
     """W model forward (models/vqa_w.py)."""
     total = vgg19_fwd_flops(n, cfg.img_size, cfg.vgg_width_mult,
@@ -123,6 +159,10 @@ def ef_fwd_flops(cfg: ModelConfig, n: int, qlen: int = None) -> float:
         enc = darts_fwd_flops(cfg, n)
         feat = (cfg.darts_multiplier * cell_schedule(cfg)[-1]["c"]
                 * OUTPUT_SIZE * OUTPUT_SIZE)
+    elif cfg.arch_type == "derived":
+        from lctvqa.models.derived import derived_out_features
+        enc = derived_fwd_flops(cfg, n)
+        feat = derived_out_features(cfg, cfg.genotype)
     else:
         enc = vgg19_fwd_flops(n, cfg.img_size, cfg.vgg_width_mult,
                               cfg.vgg_fc_dim)
