@@ -26,6 +26,13 @@ def main():
     p.add_argument("--iters", type=int, default=16)
     p.add_argument("--remat_cells", action="store_true",
                    help="match run_224px.py's memory-saving config")
+    p.add_argument("--sections", type=str,
+                   default="stage1,stage2,ef_generate",
+                   help="comma subset of stage1,stage2,ef_generate,"
+                        "trunk,ef,w — trunk/ef/w are fwd+bwd-only "
+                        "decompositions (darts trunk alone / full EF "
+                        "loss / full W loss) that attribute the stage "
+                        "walls to trunk vs LSTM+heads vs VGG")
     args = p.parse_args()
 
     from lctvqa import compile_cache
@@ -79,6 +86,8 @@ def main():
         results[tag] = {"ms": round(ms, 2), "compile_s": round(compile_s, 1)}
         print(tag, results[tag], flush=True)
 
+    sections = set(args.sections.split(","))
+
     # stage1 chained on (ef_params, ef_opt)
     st = {"ef": ef_params, "efo": ef_opt}
 
@@ -87,7 +96,8 @@ def main():
             st["ef"], arch, st["efo"], batch, keys[i])
         return l1
 
-    timed("stage1", chain1, lambda l: float(l))
+    if "stage1" in sections:
+        timed("stage1", chain1, lambda l: float(l))
 
     # stage2 chained on (w_params, w_opt); EF params fixed
     st2 = {"w": w_params, "wo": w_opt}
@@ -97,7 +107,68 @@ def main():
             st2["w"], st2["wo"], ef_params, arch, batch, keys[i])
         return l2
 
-    timed("stage2", chain2, lambda l: float(l))
+    if "stage2" in sections:
+        timed("stage2", chain2, lambda l: float(l))
+
+    # fwd+bwd-only decompositions. Each is chained on its own params via a
+    # tiny SGD-style update INSIDE the jitted program — without it, the
+    # iterations are loop-invariant and nothing stops XLA/host caching from
+    # collapsing the repeat; with it the K calls are a real dependent chain
+    # whose final loss readback bounds the whole sequence. stage1 ~= ef +
+    # grad-clip + Adam; ef - trunk ~= the LSTM/teacher-forcing/head share;
+    # stage2 ~= ef_generate + 2x W fwd + W bwd + Adam.
+    from lctvqa.train.steps import normalize_images
+    img_n = jax.jit(lambda u8: normalize_images(u8, (0.485, 0.456, 0.406),
+                                                (0.229, 0.224, 0.225)))(
+        batch["image_u8"])
+
+    def make_graddesc(loss_fn):
+        @jax.jit
+        def step(p, r):
+            l, g = jax.value_and_grad(loss_fn)(p, r)
+            newp = jax.tree_util.tree_map(
+                lambda x, gg: (x - 1e-6 * gg.astype(x.dtype)), p, g)
+            return newp, l
+        return step
+
+    if "trunk" in sections:
+        trunk_step = make_graddesc(
+            lambda p, r: jnp.sum(vqa_ef.ef_img_encode(
+                p, arch, cfg.model, img_n, r, False).astype(jnp.float32)))
+        stt = {"p": ef_params}
+
+        def chain_t(i):
+            stt["p"], l = trunk_step(stt["p"], keys[i])
+            return l
+
+        timed("trunk_fwdbwd", chain_t, lambda l: float(l))
+
+    if "ef" in sections:
+        ef_step = make_graddesc(
+            lambda p, r: vqa_ef.ef_loss(p, arch, cfg.model, img_n,
+                                        batch["question"],
+                                        batch["answer_label"], r, False))
+        ste = {"p": ef_params}
+
+        def chain_e(i):
+            ste["p"], l = ef_step(ste["p"], keys[i])
+            return l
+
+        timed("ef_fwdbwd", chain_e, lambda l: float(l))
+
+    if "w" in sections:
+        w_step = make_graddesc(
+            lambda p, r: vqa_w.w_loss(p, cfg.model, img_n,
+                                      batch["question"],
+                                      batch["answer_label"], rng=r,
+                                      deterministic=False))
+        stw = {"p": w_params}
+
+        def chain_w(i):
+            stw["p"], l = w_step(stw["p"], keys[i])
+            return l
+
+        timed("w_fwdbwd", chain_w, lambda l: float(l))
 
     # generate alone (jitted standalone; fresh rng each call, chained on
     # nothing device-side — use the token readback to bound each call,
@@ -112,7 +183,8 @@ def main():
         q, alog = gen(ef_params, arch, img, keys[i])
         return alog
 
-    timed("ef_generate", chain3, lambda a: float(jnp.sum(a)))
+    if "ef_generate" in sections:
+        timed("ef_generate", chain3, lambda a: float(jnp.sum(a)))
 
     print(json.dumps(results))
 
