@@ -213,6 +213,8 @@ class VqaService:
         bucket (XLA specializes the symbolic-batch program per concrete
         shape; on a TPU behind a slow compile path this turns first-hit
         multi-second stalls into startup cost). Returns #programs run."""
+        import jax
+
         mb = max_batch or self.batcher._max_batch
         s = self.meta["img_size"]
         L = self.meta["max_qst_len"]
@@ -223,7 +225,13 @@ class VqaService:
             qst = np.zeros((b, L), np.int32)
             args = {"answer_logits": (u8, qst), "generate": (u8,)}
             for name in self.model.functions:
-                self.model._fns[name](self.model._params, *args[name])
+                out = self.model._fns[name](self.model._params, *args[name])
+                # block per program: jit dispatch is async on remote
+                # backends, so without this warmup "finishes" while the
+                # compiles are still queued and the FIRST live request
+                # waits behind all of them (measured: 300+ s stall on a
+                # tunneled TPU whose warmup had "completed" in 45 s)
+                jax.block_until_ready(out)
                 n += 1
             b *= 2
         return n
