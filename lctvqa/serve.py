@@ -226,12 +226,17 @@ class VqaService:
             args = {"answer_logits": (u8, qst), "generate": (u8,)}
             for name in self.model.functions:
                 out = self.model._fns[name](self.model._params, *args[name])
-                # block per program: jit dispatch is async on remote
+                # synchronize per program: jit dispatch is async on remote
                 # backends, so without this warmup "finishes" while the
                 # compiles are still queued and the FIRST live request
                 # waits behind all of them (measured: 300+ s stall on a
-                # tunneled TPU whose warmup had "completed" in 45 s)
-                jax.block_until_ready(out)
+                # tunneled TPU whose warmup had "completed" in 45 s).
+                # A host readback, not block_until_ready: stdio-tunneled
+                # backends can return from block_until_ready before the
+                # program has even compiled (NOTES.md round-1 quirks;
+                # re-measured here as a 17 s first request).
+                for leaf in jax.tree_util.tree_leaves(out):
+                    np.asarray(leaf)
                 n += 1
             b *= 2
         return n
